@@ -1,0 +1,21 @@
+"""Test harness config: run the whole suite on the CPU backend with 8 virtual
+devices so sharding tests work without TPU hardware (SURVEY.md §4: the suite
+must be CPU-runnable, the triangle demo is the e2e smoke test).
+
+Note: the environment's site hook pins JAX_PLATFORMS=axon (the TPU tunnel), so
+we must both rewrite the env var *and* update jax.config after import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# Keep f32 math f32 on any backend (TPU would otherwise use bf16 matmuls).
+jax.config.update("jax_default_matmul_precision", "highest")

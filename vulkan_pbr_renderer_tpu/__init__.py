@@ -1,0 +1,23 @@
+"""vulkan_pbr_renderer_tpu — a TPU-native deferred PBR renderer.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+uuwee/Vulkan-PBR-Renderer (a Vulkan 1.3 deferred PBR renderer with dynamic
+voxel-grid GI, sun shadow mapping, split-sum IBL, TAA, physically-based bloom
+and ACES tonemapping).  Nothing here is a port: the Vulkan render graph,
+descriptor sets and GLSL passes are replaced by a single jit-compiled frame
+function over jax Arrays, with Pallas kernels for the rasterizer hot path.
+
+Layer map (mirrors SURVEY.md §1, reference file pointers in the docstrings):
+
+  utils/     L0  — math, noise, color, image metrics (replaces HandmadeMath + Fire)
+  gpu/       L2  — device/resource/sampling runtime (replaces src/gpu/gpu_vulkan.c)
+  raster/    L3' — visibility-buffer tile rasterizer (replaces fixed-function raster)
+  shade/     L3' — BRDF library + lighting/TAA/bloom/tonemap passes (replaces *.glsl)
+  bake/      L3' — one-time IBL precompute (replaces gen_*.glsl compute passes)
+  assets/    L4  — glTF/FBX/DDS/HDR/TGA loaders + procedural scenes (replaces asset_import.cpp)
+  app/       L4  — renderer orchestration, camera, headless CLI (replaces main.cpp/render.cpp)
+  parallel/  —   multi-chip sharding of the frame (new capability; reference is single-GPU)
+  ops/       —   Pallas kernel re-exports
+"""
+
+__version__ = "0.1.0"

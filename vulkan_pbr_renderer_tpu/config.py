@@ -1,0 +1,117 @@
+"""Renderer configuration.
+
+The reference scatters its tuning constants across shaders and render.cpp
+(SURVEY.md §5 "Config / flag system": BLOOM_PASS_COUNT render.h:2,
+LIGHTGRID_SIZE render.cpp:7, sun emission lighting_pass.glsl:616, bloom factor
+bloom_upsample.glsl:37, GI step counts lighting_pass.glsl:684-701, FOV / z range
+main.cpp:85-87, sun ortho extent render.cpp:959-961...).  Here every one of
+those literals becomes a named field of one frozen dataclass; the dataclass is
+hashable so it can be a static argument of jitted frame functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- framebuffer ------------------------------------------------------
+    width: int = 1920
+    height: int = 1080
+
+    # --- camera (main.cpp:83-87) -----------------------------------------
+    fov_y_deg: float = 75.0
+    z_near: float = 0.02
+    z_far: float = 10000.0
+
+    # --- sun + shadow map (render.cpp:677, 959-971) -----------------------
+    shadow_map_size: int = 2048
+    sun_half_size: float = 40.0            # ortho extent, world units
+    sun_color: Tuple[float, float, float] = (1.0, 0.9, 0.7)
+    sun_emission_scale: float = 25.0       # lighting_pass.glsl:616
+    voxelize_sun_emission_scale: float = 5.0  # lightgrid_voxelize.glsl:102
+    shadow_normal_offset: float = 0.1      # lighting_pass.glsl:596
+    pcf_taps: int = 4                      # rotated-grid PCF (lighting_pass.glsl:604-608)
+
+    # --- lightgrid GI (render.cpp:7,678; lightgrid_sweep.glsl) ------------
+    lightgrid_size: int = 128
+    lightgrid_extent: float = 40.0         # world units; scale = 1/extent (render.cpp:960)
+    skylight: Tuple[float, float, float] = (1.0, 1.2, 2.0)  # lightgrid_sweep.glsl:23
+    sweep_move_ratio: float = 0.5          # lightgrid_sweep.glsl:32
+    sweep_blend: float = 0.35              # lightgrid_sweep.glsl:70
+    gi_diffuse_steps: int = 12             # lighting_pass.glsl:685
+    gi_specular_steps: int = 16            # lighting_pass.glsl:701
+    gi_diffuse_step_scale: float = 1.0
+    gi_specular_step_scale: float = 2.0
+    gi_diffuse_foggyness: float = 0.5
+    gi_specular_foggyness_is_roughness: bool = True
+    gi_diffuse_ss_intensity: float = 0.75
+    gi_specular_ss_intensity: float = 0.9
+    gi_screen_trace_steps: int = 24        # bounded replacement for while(true) @ glsl:315
+    world_bounds: float = 99.0             # sky fallback bound (lighting_pass.glsl:708)
+
+    # --- light shafts (lighting_pass.glsl:622-651) ------------------------
+    light_shaft_intensity: float = 0.001
+    light_shaft_steps: int = 16
+
+    # --- post stack -------------------------------------------------------
+    bloom_pass_count: int = 6              # render.h:2
+    bloom_strength: float = 0.06           # bloom_upsample.glsl:37
+    bloom_upsample_radius: float = 1.5     # bloom_upsample.glsl:26
+    taa_blend: float = 0.05                # taa_resolve.glsl:246
+    taa_velocity_rejection: float = 1000.0  # taa_resolve.glsl:263
+    exposure: float = 2.0                  # final_post_process.glsl:32
+    emissive_scale: float = 10.0           # lighting_pass.glsl:440
+
+    # --- IBL bake (render.cpp:794-796, gen_*.glsl) ------------------------
+    irradiance_size: int = 32
+    irradiance_samples: int = 1024         # gen_irradiance_map.glsl:73
+    prefiltered_env_size: int = 256
+    prefiltered_env_min_size: int = 16     # render.cpp:564-579
+    prefilter_samples: int = 8192          # gen_prefiltered_env_map.glsl:120
+    brdf_lut_size: int = 256
+    brdf_lut_samples: int = 4096           # gen_brdf_integration_map.glsl:142
+
+    # --- alpha test + material (geometry_pass.glsl:259) -------------------
+    alpha_test_threshold: float = 0.3
+    f0_dielectric: float = 0.04            # lighting_pass.glsl:657
+
+    # --- rasterizer (TPU-native; no reference equivalent) -----------------
+    tile_h: int = 32                       # pixel tile: sublane-aligned
+    tile_w: int = 128                      # pixel tile: lane-aligned
+    meshlet_size: int = 128                # triangles per meshlet
+    max_meshlets_per_tile: int = 256       # binning capacity per tile (padded)
+    tri_chunk: int = 128                   # triangles rasterized per inner step
+
+    # --- pass toggles -----------------------------------------------------
+    enable_shadows: bool = True
+    enable_gi: bool = True
+    enable_light_shafts: bool = True
+    enable_taa: bool = True
+    enable_bloom: bool = True
+    enable_ibl: bool = True
+    visualize_lightgrid: bool = False
+
+    # --- precision --------------------------------------------------------
+    # RTs the reference keeps at RGBA16F become bf16 on TPU (render.cpp:693-697)
+    hdr_dtype: str = "float32"
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @property
+    def lightgrid_scale(self) -> float:
+        return 1.0 / self.lightgrid_extent
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Preset configs mirroring BASELINE.json "configs".
+TRIANGLE = RenderConfig(width=1280, height=720, enable_gi=False, enable_taa=False,
+                        enable_bloom=False, enable_shadows=False, enable_ibl=False,
+                        enable_light_shafts=False)
+SUNTEMPLE_1080P = RenderConfig()
