@@ -1,0 +1,433 @@
+"""Texture sampling library — the TPU replacement for Vulkan samplers.
+
+The reference binds fixed-function samplers (GPU_MakeSampler, gpu_vulkan.c:613-634;
+six common samplers at :1126-1136): linear/nearest x wrap/clamp, LOD-clamped, and a
+percentage-closer compare sampler (compare_op=Less, render.cpp:672).  Here each of
+those becomes a gather-based jnp function over plain arrays:
+
+* 2D textures are [H, W, C] arrays; uv in [0,1]^2 with texel centers at
+  (i+0.5)/N; v=0 is row 0 (top), matching Vulkan's y-down texture space.
+* 3D textures are [D, H, W, C] (z-major), uvw = (x, y, z) like GLSL texture3D.
+* Cubemaps are [6, S, S, C] in Vulkan layer order +X,-X,+Y,-Y,+Z,-Z with the
+  face-UV mapping from the Vulkan spec (documented in the reference at
+  gen_irradiance_map.glsl:11-66).
+* Mip chains are packed into a single "mip atlas" [H, Wa, C] with level k
+  occupying rows [0, H>>k) and a static column offset — this makes per-pixel
+  dynamic-LOD sampling a single arithmetic gather instead of a switch over
+  differently-shaped arrays (which XLA cannot express).
+
+Everything is jit-safe and shape-static.  These are the semantic reference
+implementations; hot paths get fused into Pallas kernels in ops/.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Address modes
+
+
+def _wrap_coord(i, n, mode):
+    if mode == "clamp":
+        return jnp.clip(i, 0, n - 1)
+    elif mode == "wrap":
+        return jnp.mod(i, n)
+    raise ValueError(f"unknown address mode {mode!r}")
+
+
+def _gather2d(tex, iy, ix):
+    """tex [H,W,C] gathered at int arrays iy/ix [...] -> [...,C]."""
+    h, w, c = tex.shape
+    flat = tex.reshape(h * w, c)
+    idx = iy * w + ix
+    return jnp.take(flat, idx, axis=0)
+
+
+def _gather3d(vol, iz, iy, ix):
+    d, h, w, c = vol.shape
+    flat = vol.reshape(d * h * w, c)
+    idx = (iz * h + iy) * w + ix
+    return jnp.take(flat, idx, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# 2D sampling
+
+
+def sample_nearest(tex, uv, mode="clamp"):
+    """Nearest-neighbor 2D sample. tex [H,W,C], uv [...,2] -> [...,C]."""
+    h, w, _ = tex.shape
+    ix = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    iy = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    return _gather2d(tex, _wrap_coord(iy, h, mode), _wrap_coord(ix, w, mode))
+
+
+def sample_bilinear(tex, uv, mode="clamp"):
+    """Bilinear 2D sample. tex [H,W,C], uv [...,2] -> [...,C]."""
+    h, w, _ = tex.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x0c = _wrap_coord(x0, w, mode)
+    x1c = _wrap_coord(x0 + 1, w, mode)
+    y0c = _wrap_coord(y0, h, mode)
+    y1c = _wrap_coord(y0 + 1, h, mode)
+    t00 = _gather2d(tex, y0c, x0c)
+    t10 = _gather2d(tex, y0c, x1c)
+    t01 = _gather2d(tex, y1c, x0c)
+    t11 = _gather2d(tex, y1c, x1c)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_catmull_rom(tex, uv):
+    """9-tap Catmull-Rom sampling (bicubic via bilinear taps).
+
+    Reproduces SampleHistoryTextureCatmullRom (taa_resolve.glsl:125-174,
+    MJP's technique): 4x4 support evaluated with 9 bilinear fetches.
+    """
+    h, w, _ = tex.shape
+    tex_size = jnp.array([w, h], jnp.float32)
+    sample_pos = uv * tex_size
+    tex_pos1 = jnp.floor(sample_pos - 0.5) + 0.5
+    f = sample_pos - tex_pos1
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    w12 = w1 + w2
+    offset12 = w2 / w12
+    tex_pos0 = (tex_pos1 - 1.0) / tex_size
+    tex_pos3 = (tex_pos1 + 2.0) / tex_size
+    tex_pos12 = (tex_pos1 + offset12) / tex_size
+
+    def tap(px, py, wx, wy):
+        return sample_bilinear(tex, jnp.stack([px, py], -1)) * (wx * wy)[..., None]
+
+    xs = (tex_pos0[..., 0], tex_pos12[..., 0], tex_pos3[..., 0])
+    ys = (tex_pos0[..., 1], tex_pos12[..., 1], tex_pos3[..., 1])
+    wxs = (w0[..., 0], w12[..., 0], w3[..., 0])
+    wys = (w0[..., 1], w12[..., 1], w3[..., 1])
+    out = 0.0
+    for j in range(3):
+        for i in range(3):
+            out = out + tap(xs[i], ys[j], wxs[i], wys[j])
+    return out
+
+
+def sample_depth_compare(depth, uv, ref, offset_texels=None):
+    """PCF compare sample: bilinear filter of (ref < stored) tests.
+
+    Matches sampler2DShadow with VK_COMPARE_OP_LESS (render.cpp:672 +
+    lighting_pass.glsl:604-608): returns filtered visibility in [0,1],
+    1 where the reference depth is closer than the stored occluder depth.
+    depth [H,W], uv [...,2], ref [...] -> [...].
+    """
+    h, w = depth.shape
+    if offset_texels is not None:
+        uv = uv + jnp.asarray(offset_texels, jnp.float32) / jnp.array([w, h], jnp.float32)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    d = depth[..., None]
+
+    def cmp(iy, ix):
+        t = _gather2d(d, jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1))[..., 0]
+        return (ref < t).astype(jnp.float32)
+
+    c00 = cmp(y0, x0)
+    c10 = cmp(y0, x0 + 1)
+    c01 = cmp(y0 + 1, x0)
+    c11 = cmp(y0 + 1, x0 + 1)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
+# ---------------------------------------------------------------------------
+# 3D sampling (the 128^3 lightgrid)
+
+
+def sample_trilinear_3d(vol, uvw, mode="clamp"):
+    """Trilinear 3D sample. vol [D,H,W,C], uvw [...,3] (x,y,z) -> [...,C]."""
+    d, h, w, _ = vol.shape
+    x = uvw[..., 0] * w - 0.5
+    y = uvw[..., 1] * h - 0.5
+    z = uvw[..., 2] * d - 0.5
+    x0f, y0f, z0f = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    fz = (z - z0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    z0 = z0f.astype(jnp.int32)
+
+    def g(dz, dy, dx):
+        return _gather3d(
+            vol,
+            _wrap_coord(z0 + dz, d, mode),
+            _wrap_coord(y0 + dy, h, mode),
+            _wrap_coord(x0 + dx, w, mode),
+        )
+
+    c000, c100 = g(0, 0, 0), g(0, 0, 1)
+    c010, c110 = g(0, 1, 0), g(0, 1, 1)
+    c001, c101 = g(1, 0, 0), g(1, 0, 1)
+    c011, c111 = g(1, 1, 0), g(1, 1, 1)
+    c00 = c000 + (c100 - c000) * fx
+    c10 = c010 + (c110 - c010) * fx
+    c01 = c001 + (c101 - c001) * fx
+    c11 = c011 + (c111 - c011) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return c0 + (c1 - c0) * fz
+
+
+# ---------------------------------------------------------------------------
+# Cubemaps — Vulkan face order and UV mapping (gen_irradiance_map.glsl:11-66)
+
+
+def cubemap_dir_from_face_uv(face_index, face_uv):
+    """Unit direction for (face, uv). face_index int [...] , face_uv [...,2]."""
+    sc = 2.0 * (face_uv[..., 0] - 0.5)
+    tc = 2.0 * (face_uv[..., 1] - 0.5)
+    one = jnp.ones_like(sc)
+    # per-face (x, y, z) as functions of (sc, tc)
+    dirs = jnp.stack(
+        [
+            jnp.stack([one, -tc, -sc], -1),   # +X
+            jnp.stack([-one, -tc, sc], -1),   # -X
+            jnp.stack([sc, one, tc], -1),     # +Y
+            jnp.stack([sc, -one, -tc], -1),   # -Y
+            jnp.stack([sc, -tc, one], -1),    # +Z
+            jnp.stack([-sc, -tc, -one], -1),  # -Z
+        ],
+        axis=0,
+    )
+    f = jnp.broadcast_to(face_index, sc.shape)
+    sel = jnp.take_along_axis(
+        dirs.reshape(6, -1, 3), f.reshape(1, -1, 1).astype(jnp.int32), axis=0
+    )[0]
+    d = sel.reshape(sc.shape + (3,))
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def cubemap_face_uv_from_dir(r):
+    """Inverse mapping: direction [...,3] -> (face int [...], uv [...,2])."""
+    x, y, z = r[..., 0], r[..., 1], r[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # major axis selection
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    # sc/tc per Vulkan spec table
+    sc = jnp.where(
+        is_x, jnp.where(x >= 0, -z, z), jnp.where(is_y, x, jnp.where(z >= 0, x, -x))
+    )
+    tc = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y >= 0, z, -z), -y))
+    u = 0.5 * sc / ma + 0.5
+    v = 0.5 * tc / ma + 0.5
+    return face, jnp.stack([u, v], -1)
+
+
+def sample_cubemap(faces, r):
+    """Bilinear cubemap sample (no seam blending; clamps at face edges).
+
+    faces [6,S,S,C], r [...,3] (need not be normalized) -> [...,C].
+    """
+    six, s, s2, c = faces.shape
+    face, uv = cubemap_face_uv_from_dir(r)
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    flat = faces.reshape(6 * s * s, c)
+
+    def g(iy, ix):
+        iy = jnp.clip(iy, 0, s - 1)
+        ix = jnp.clip(ix, 0, s - 1)
+        return jnp.take(flat, (face * s + iy) * s + ix, axis=0)
+
+    t00, t10 = g(y0, x0), g(y0, x0 + 1)
+    t01, t11 = g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+# ---------------------------------------------------------------------------
+# Mip atlases: single-array mip pyramids for dynamic-LOD sampling
+
+
+def n_mip_levels(h, w):
+    return int(math.floor(math.log2(max(1, min(h, w))))) + 1
+
+
+def mip_sizes(h, w, levels=None):
+    levels = levels or n_mip_levels(h, w)
+    return [(max(1, h >> k), max(1, w >> k)) for k in range(levels)]
+
+
+def mip_offsets(h, w, levels=None):
+    """Static column offsets of each level inside the atlas."""
+    offs = []
+    x = 0
+    for (lh, lw) in mip_sizes(h, w, levels):
+        offs.append(x)
+        x += lw
+    return offs, x  # offsets, total atlas width
+
+
+def downsample2x(tex):
+    """2x2 box filter downsample — matches blit-chain mip generation
+    (GPU_OpGenerateMipmaps, gpu_vulkan.c:1458-1483, linear filter)."""
+    h, w, c = tex.shape
+    h2, w2 = max(1, h // 2), max(1, w // 2)
+    t = tex[: h2 * 2, : w2 * 2]
+    t = t.reshape(h2, 2, w2, 2, c)
+    return t.mean(axis=(1, 3))
+
+
+def build_mip_atlas(tex, levels=None):
+    """Pack tex [H,W,C] and its mip chain into one [H, Wa, C] atlas array."""
+    h, w, c = tex.shape
+    levels = levels or n_mip_levels(h, w)
+    offs, wa = mip_offsets(h, w, levels)
+    atlas = jnp.zeros((h, wa, c), tex.dtype)
+    cur = tex
+    for k in range(levels):
+        lh, lw = max(1, h >> k), max(1, w >> k)
+        atlas = atlas.at[:lh, offs[k] : offs[k] + lw].set(cur)
+        if k + 1 < levels:
+            cur = downsample2x(cur)
+    return atlas
+
+
+def sample_mip_atlas(atlas, base_h, base_w, uv, lod, mode="clamp"):
+    """Trilinear (bilinear + mip lerp) sample from a mip atlas.
+
+    atlas [H,Wa,C] built by build_mip_atlas; uv [...,2]; lod [...] continuous.
+    Matches textureLod semantics for the prev-frame GI reads
+    (lighting_pass.glsl:377: textureLod(PREV_FRAME_RESULT, uv, min(step*5, 5))).
+    """
+    levels = n_mip_levels(base_h, base_w)
+    offs, _ = mip_offsets(base_h, base_w, levels)
+    offs_arr = jnp.array(offs, jnp.int32)
+    lh_arr = jnp.array([max(1, base_h >> k) for k in range(levels)], jnp.int32)
+    lw_arr = jnp.array([max(1, base_w >> k) for k in range(levels)], jnp.int32)
+
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+
+    def level_sample(lv):
+        lh = jnp.take(lh_arr, lv)
+        lw = jnp.take(lw_arr, lv)
+        off = jnp.take(offs_arr, lv)
+        x = uv[..., 0] * lw - 0.5
+        y = uv[..., 1] * lh - 0.5
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        def wrapc(i, n):
+            if mode == "clamp":
+                return jnp.clip(i, 0, n - 1)
+            return jnp.mod(i, n)
+
+        def g(iy, ix):
+            return _gather2d(atlas, wrapc(iy, lh), off + wrapc(ix, lw))
+
+        t00, t10 = g(y0, x0), g(y0, x0 + 1)
+        t01, t11 = g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        return top + (bot - top) * fy
+
+    s0 = level_sample(l0)
+    s1 = level_sample(l1)
+    return s0 + (s1 - s0) * fl
+
+
+def build_cube_mip_atlas(faces, levels=None):
+    """[6,S,S,C] cubemap -> [6,S,Wa,C] per-face mip atlas."""
+    six, s, _, c = faces.shape
+    levels = levels or n_mip_levels(s, s)
+    packed = [build_mip_atlas(faces[i], levels) for i in range(six)]
+    return jnp.stack(packed, axis=0)
+
+
+def sample_cubemap_lod(cube_atlas, base_size, r, lod):
+    """Trilinear cubemap sample with dynamic LOD from a cube mip atlas.
+
+    cube_atlas [6,S,Wa,C]; matches textureLod(samplerCube, dir, lod) for the
+    prefiltered env reads (lighting_pass.glsl:699,709).
+    """
+    six, s, wa, c = cube_atlas.shape
+    levels = n_mip_levels(base_size, base_size)
+    offs, _ = mip_offsets(base_size, base_size, levels)
+    offs_arr = jnp.array(offs, jnp.int32)
+    size_arr = jnp.array([max(1, base_size >> k) for k in range(levels)], jnp.int32)
+
+    face, uv = cubemap_face_uv_from_dir(r)
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    flat = cube_atlas.reshape(6 * s * wa, c)
+
+    def level_sample(lv):
+        ls = jnp.take(size_arr, lv)
+        off = jnp.take(offs_arr, lv)
+        x = uv[..., 0] * ls - 0.5
+        y = uv[..., 1] * ls - 0.5
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        def g(iy, ix):
+            iy = jnp.clip(iy, 0, ls - 1)
+            ix = off + jnp.clip(ix, 0, ls - 1)
+            return jnp.take(flat, (face * s + iy) * wa + ix, axis=0)
+
+        t00, t10 = g(y0, x0), g(y0, x0 + 1)
+        t01, t11 = g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        return top + (bot - top) * fy
+
+    s0 = level_sample(l0)
+    s1 = level_sample(l1)
+    return s0 + (s1 - s0) * fl
