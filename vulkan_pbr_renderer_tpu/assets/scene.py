@@ -1,0 +1,159 @@
+"""Scene container: geometry + materials as device arrays.
+
+The TPU equivalent of the reference's RenderObject (render.h:104-120, built by
+LoadMesh, asset_import.cpp:79-178): one merged vertex/index buffer grouped by
+material, with per-material base-color/normal/ORM/emissive textures and dummy
+fallbacks (white / flat-normal / black, asset_import.cpp:194-197).  Instead of
+per-part descriptor sets, materials become **layers of four mip-atlas texture
+arrays** and each triangle carries a material id — so the whole scene renders
+in one pass with no per-material dispatch (a draw loop would defeat XLA).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gpu import sampling
+
+
+@dataclasses.dataclass
+class MaterialDesc:
+    """Host-side material description; textures are numpy [h,w,c] float in [0,1]."""
+
+    base_color: Optional[np.ndarray] = None   # rgba; alpha used for alpha test
+    normal: Optional[np.ndarray] = None       # tangent-space, xy in [0,1]
+    orm: Optional[np.ndarray] = None          # occlusion/roughness/metallic
+    emissive: Optional[np.ndarray] = None
+    base_color_factor: tuple = (1.0, 1.0, 1.0, 1.0)
+    orm_factor: tuple = (1.0, 0.7, 0.0)       # default mid roughness, dielectric
+    emissive_factor: tuple = (0.0, 0.0, 0.0)
+    alpha_test: bool = False
+
+
+@dataclasses.dataclass
+class MeshPart:
+    """Host-side mesh part: one material, triangle soup."""
+
+    positions: np.ndarray       # [V,3]
+    normals: np.ndarray         # [V,3]
+    uvs: np.ndarray             # [V,2]
+    indices: np.ndarray         # [T,3] int32
+    material: int               # index into the scene's material list
+
+
+class Scene(NamedTuple):
+    """Device-side scene (pytree of arrays, jit-ready)."""
+
+    positions: jnp.ndarray        # [V,3] f32 world space
+    normals: jnp.ndarray          # [V,3] f32
+    uvs: jnp.ndarray              # [V,2] f32
+    indices: jnp.ndarray          # [T,3] i32
+    mat_id: jnp.ndarray           # [T] i32
+    # material texture arrays: [M, TS, Wa, C] mip atlases (square pow2)
+    tex_base_color: jnp.ndarray   # [M,TS,Wa,4]
+    tex_normal: jnp.ndarray       # [M,TS,Wa,2]  (xy of tangent-space normal)
+    tex_orm: jnp.ndarray          # [M,TS,Wa,3]
+    tex_emissive: jnp.ndarray     # [M,TS,Wa,3]
+    alpha_test: jnp.ndarray       # [M] bool
+
+    @property
+    def num_tris(self) -> int:
+        return self.indices.shape[0]
+
+
+def _resize_bilinear_np(img, size):
+    """Host-side bilinear resize to (size,size)."""
+    h, w = img.shape[:2]
+    if (h, w) == (size, size):
+        return img.astype(np.float32)
+    ys = (np.arange(size) + 0.5) * h / size - 0.5
+    xs = (np.arange(size) + 0.5) * w / size - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    img = img.astype(np.float32)
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _prep_tex(tex, factor, size, channels, fill):
+    """Resize/constant-fill one material texture to [size,size,channels]."""
+    if tex is None:
+        base = np.broadcast_to(np.asarray(fill, np.float32), (size, size, channels)).copy()
+    else:
+        t = np.asarray(tex, np.float32)
+        if t.ndim == 2:
+            t = t[..., None]
+        if t.shape[-1] < channels:  # pad missing channels (e.g. rgb->rgba alpha=1)
+            pad = np.ones(t.shape[:-1] + (channels - t.shape[-1],), np.float32)
+            if channels == 4 and t.shape[-1] == 3:
+                pass  # alpha defaults to 1
+            t = np.concatenate([t, pad], -1)
+        t = t[..., :channels]
+        base = _resize_bilinear_np(t, size)
+    f = np.asarray(factor, np.float32)[:channels]
+    return base * f
+
+
+def build_scene(
+    parts: Sequence[MeshPart],
+    materials: Sequence[MaterialDesc],
+    texture_size: int = 256,
+    dtype=jnp.float32,
+) -> Scene:
+    """Merge parts into one triangle soup + build material texture atlases.
+
+    Mirrors the by-material grouping of asset_import.cpp:92-170 but flattens
+    to per-triangle material ids instead of per-part draws.
+    """
+    assert texture_size & (texture_size - 1) == 0, "texture_size must be pow2"
+    all_pos, all_nrm, all_uv, all_idx, all_mat = [], [], [], [], []
+    v_off = 0
+    for part in parts:
+        t = part.indices.shape[0]
+        all_pos.append(np.asarray(part.positions, np.float32))
+        all_nrm.append(np.asarray(part.normals, np.float32))
+        all_uv.append(np.asarray(part.uvs, np.float32))
+        all_idx.append(np.asarray(part.indices, np.int64) + v_off)
+        all_mat.append(np.full((t,), part.material, np.int32))
+        v_off += part.positions.shape[0]
+
+    pos = np.concatenate(all_pos)
+    nrm = np.concatenate(all_nrm)
+    uv = np.concatenate(all_uv)
+    idx = np.concatenate(all_idx).astype(np.int32)
+    mat = np.concatenate(all_mat)
+
+    ts = texture_size
+    bc, nm, orm, em, at = [], [], [], [], []
+    for m in materials:
+        bc.append(_prep_tex(m.base_color, m.base_color_factor, ts, 4, (1, 1, 1, 1)))
+        nm.append(_prep_tex(m.normal, (1, 1), ts, 2, (0.5, 0.5)))
+        orm.append(_prep_tex(m.orm, (1, 1, 1), ts, 3, m.orm_factor))
+        em.append(_prep_tex(m.emissive, (1, 1, 1), ts, 3, m.emissive_factor))
+        at.append(m.alpha_test)
+
+    def atlas(stack):
+        arr = jnp.asarray(np.stack(stack), dtype)
+        return jnp.stack([sampling.build_mip_atlas(arr[i]) for i in range(arr.shape[0])])
+
+    return Scene(
+        positions=jnp.asarray(pos),
+        normals=jnp.asarray(nrm),
+        uvs=jnp.asarray(uv),
+        indices=jnp.asarray(idx),
+        mat_id=jnp.asarray(mat),
+        tex_base_color=atlas(bc),
+        tex_normal=atlas(nm),
+        tex_orm=atlas(orm),
+        tex_emissive=atlas(em),
+        alpha_test=jnp.asarray(np.asarray(at, bool)),
+    )

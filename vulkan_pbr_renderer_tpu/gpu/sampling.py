@@ -379,6 +379,60 @@ def sample_mip_atlas(atlas, base_h, base_w, uv, lod, mode="clamp"):
     return s0 + (s1 - s0) * fl
 
 
+def sample_mip_atlas_array(atlas, layer, uv, lod, mode="wrap"):
+    """Trilinear sample from a *layered* mip atlas — the material texture unit.
+
+    atlas [L,H,Wa,C] (one mip atlas per material layer, see build_mip_atlas),
+    layer [...] int32, uv [...,2], lod [...] -> [...,C].  Default wrap
+    addressing matches SAMPLER_LINEAR_WRAP used for material textures
+    (geometry_pass.glsl:258-263).
+    """
+    nl, base_h, wa, c = atlas.shape
+    base_w = base_h  # square power-of-two material textures only
+    levels = n_mip_levels(base_h, base_w)
+    offs, wa_expect = mip_offsets(base_h, base_w, levels)
+    assert wa == wa_expect, "layered atlas requires square power-of-two textures"
+    offs_arr = jnp.array(offs, jnp.int32)
+    size_arr = jnp.array([max(1, base_h >> k) for k in range(levels)], jnp.int32)
+
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    flat = atlas.reshape(nl * base_h * wa, c)
+
+    def level_sample(lv):
+        ls = jnp.take(size_arr, lv)
+        off = jnp.take(offs_arr, lv)
+        x = uv[..., 0] * ls - 0.5
+        y = uv[..., 1] * ls - 0.5
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+
+        def wrapc(i, n):
+            if mode == "clamp":
+                return jnp.clip(i, 0, n - 1)
+            return jnp.mod(i, n)
+
+        def g(iy, ix):
+            iy = wrapc(iy, ls)
+            ix = off + wrapc(ix, ls)
+            return jnp.take(flat, (layer * base_h + iy) * wa + ix, axis=0)
+
+        t00, t10 = g(y0, x0), g(y0, x0 + 1)
+        t01, t11 = g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        return top + (bot - top) * fy
+
+    s0 = level_sample(l0)
+    s1 = level_sample(l1)
+    return s0 + (s1 - s0) * fl
+
+
 def build_cube_mip_atlas(faces, levels=None):
     """[6,S,S,C] cubemap -> [6,S,Wa,C] per-face mip atlas."""
     six, s, _, c = faces.shape

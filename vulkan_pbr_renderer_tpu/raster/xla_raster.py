@@ -1,0 +1,75 @@
+"""Reference rasterizer in pure XLA (no Pallas) — brute force, O(pixels x tris).
+
+This is the semantic baseline: the Pallas tile rasterizer (visibility.py) must
+match it exactly.  It is also the production path for *small* jobs — the
+triangle demo (triangle.cpp parity) and the 2048^2 depth-only sun pass run fine
+through XLA because the scan below is just dense VPU math.
+
+Output is a **visibility buffer**: per-pixel nearest-depth + triangle id
+(-1 = background).  Attribute interpolation happens in the deferred G-buffer
+pass (shade/gbuffer.py) — the TPU-native replacement for the reference's
+fragment-shader varyings (geometry_pass.glsl:101-123).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .setup import TriSetup
+
+BG_TRI = jnp.int32(-1)
+FAR_DEPTH = jnp.float32(jnp.inf)
+
+
+def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256):
+    """Brute-force depth-tested rasterization of all triangles.
+
+    Returns (depth [H,W] f32 — +inf where empty, tri_id [H,W] i32 — -1 empty).
+    Depth test: less (GPU_REVERSE_DEPTH disabled in the reference).
+    """
+    n = setup.adj.shape[0]
+    pad = (-n) % tri_chunk
+    if pad:
+        padz = lambda a: jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        setup = TriSetup(
+            adj=padz(setup.adj),
+            c_w=padz(setup.c_w),
+            c_z=padz(setup.c_z),
+            det=padz(setup.det),
+            bbox=padz(setup.bbox),
+            valid=jnp.concatenate([setup.valid, jnp.zeros((pad,), bool)], 0),
+        )
+        n += pad
+    n_chunks = n // tri_chunk
+
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # [H,W,3]
+
+    adj = setup.adj.reshape(n_chunks, tri_chunk, 3, 3)
+    c_z = setup.c_z.reshape(n_chunks, tri_chunk, 3)
+    valid = setup.valid.reshape(n_chunks, tri_chunk)
+
+    def body(carry, chunk):
+        best_z, best_id = carry
+        adj_c, cz_c, valid_c, base_id = chunk
+        # e [T,H,W,3]: edge values for every tri at every pixel
+        e = jnp.einsum("tij,hwi->thwj", adj_c, p)
+        w_num = jnp.sum(e, axis=-1)                       # [T,H,W]
+        z = jnp.einsum("ti,hwi->thw", cz_c, p)            # screen-linear z_ndc
+        covered = jnp.all(e >= 0.0, axis=-1) & (w_num > 0.0) & valid_c[:, None, None]
+        z = jnp.where(covered & (z >= 0.0) & (z <= 1.0), z, FAR_DEPTH)
+        # nearest among this chunk
+        zmin = jnp.min(z, axis=0)
+        arg = jnp.argmin(z, axis=0).astype(jnp.int32) + base_id
+        take = zmin < best_z
+        return (jnp.where(take, zmin, best_z), jnp.where(take, arg, best_id)), None
+
+    init = (
+        jnp.full((height, width), FAR_DEPTH, jnp.float32),
+        jnp.full((height, width), BG_TRI, jnp.int32),
+    )
+    base_ids = jnp.arange(n_chunks, dtype=jnp.int32) * tri_chunk
+    (depth, tri_id), _ = jax.lax.scan(body, init, (adj, c_z, valid, base_ids))
+    return depth, tri_id

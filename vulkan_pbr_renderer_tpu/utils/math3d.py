@@ -197,6 +197,19 @@ def orthographic_rh_zo(left, right, bottom, top, near, far):
     return jnp.asarray(m)
 
 
+def look_at(eye, target, up=(0.0, 0.0, 1.0)):
+    """view_from_world for the reference's view convention: +X right, +Y DOWN,
+    +Z forward (CAMERA_VIEW_SPACE_IS_POSITIVE_Y_DOWN, common.h:6)."""
+    eye = jnp.asarray(eye, jnp.float32)
+    f = normalize(jnp.asarray(target, jnp.float32) - eye)
+    r = normalize(jnp.cross(f, jnp.asarray(up, jnp.float32)))
+    d = jnp.cross(f, r)  # world-space "view down"
+    rot = jnp.stack([r, d, f])
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, :3].set(rot)
+    return m.at[:3, 3].set(-rot @ eye)
+
+
 def inverse(m):
     return jnp.linalg.inv(m)
 
