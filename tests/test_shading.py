@@ -1,0 +1,248 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vulkan_pbr_renderer_tpu.shade import bloom as bloom_mod
+from vulkan_pbr_renderer_tpu.shade import brdf, gi, shadow, taa
+from vulkan_pbr_renderer_tpu.utils import math3d as m3
+
+
+# ---------------------------------------------------------------------------
+# BRDF
+
+
+def test_ggx_normalization():
+    """Integral of D(h) cos(h) over the hemisphere must be ~1."""
+    n = 512
+    theta = (np.arange(n) + 0.5) * (np.pi / 2) / n
+    for rough in [0.1, 0.3, 0.7, 1.0]:
+        d = np.asarray(brdf.distribution_ggx(jnp.cos(jnp.asarray(theta)), rough))
+        integral = np.sum(d * np.cos(theta) * np.sin(theta)) * (np.pi / 2 / n) * 2 * np.pi
+        assert abs(integral - 1.0) < 0.02, (rough, integral)
+
+
+def test_fresnel_limits():
+    f0 = jnp.array([0.04, 0.04, 0.04])
+    assert np.allclose(np.asarray(brdf.fresnel_schlick(jnp.array(1.0), f0)), 0.04)
+    assert np.allclose(np.asarray(brdf.fresnel_schlick(jnp.array(0.0), f0)), 1.0)
+
+
+def test_geometry_terms_bounded():
+    rng = np.random.default_rng(0)
+    nh, vn, ln, vh = [jnp.asarray(rng.uniform(0.01, 1, 64).astype(np.float32)) for _ in range(4)]
+    g = np.asarray(brdf.geometry_mikkelsen(nh, vn, ln, vh))
+    assert (g >= 0).all() and (g <= 1).all()
+    g2 = np.asarray(brdf.geometry_smith_direct(vn, ln, jnp.float32(0.5)))
+    assert (g2 >= 0).all() and (g2 <= 1).all()
+
+
+def test_cook_torrance_energy():
+    """A white lambertian-ish surface must reflect less than the incident light."""
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    v = m3.normalize(jnp.array([[0.3, 0.2, 0.9]]))
+    l = m3.normalize(jnp.array([[-0.2, 0.1, 0.95]]))
+    out = np.asarray(
+        brdf.cook_torrance_direct(n, v, l, jnp.ones((1, 3)), jnp.array([0.5]), jnp.array([0.0]))
+    )
+    assert (out >= 0).all() and (out < 2.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Lightgrid sweep vs direct GLSL-semantics simulation
+
+
+def _sweep_numpy_line(vals, move_ratio=0.5, sky=(1.0, 1.2, 2.0), blend=0.35):
+    """Literal numpy translation of lightgrid_sweep.glsl:25-74 for one line."""
+    old = vals.copy()
+    v = vals.copy()
+    ml = np.asarray(sky, np.float32)
+    for x in range(v.shape[0]):
+        if old[x, 3] > 0.5:
+            ml = old[x, :3].copy()
+        else:
+            v[x, :3] += ml
+            ml = move_ratio * v[x, :3]
+            v[x, :3] -= ml
+    v[-1, :3] += ml
+    ml = np.asarray(sky, np.float32)
+    for x in range(v.shape[0] - 1, -1, -1):
+        if old[x, 3] > 0.5:
+            ml = old[x, :3].copy()
+        else:
+            v[x, :3] += ml
+            ml = move_ratio * v[x, :3]
+            v[x, :3] -= ml
+    v[0, :3] += ml
+    out = old.copy()
+    for x in range(v.shape[0]):
+        if old[x, 3] < 0.5:
+            out[x] = old[x] + (v[x] - old[x]) * blend
+            out[x, 3] = old[x, 3]
+    return out
+
+
+def test_sweep_matches_glsl_semantics():
+    rng = np.random.default_rng(1)
+    n = 32
+    grid = np.zeros((n, 4, 4, 4), np.float32)
+    grid[..., :3] = rng.uniform(0, 2, (n, 4, 4, 3))
+    occ = rng.random((n, 4, 4)) < 0.3
+    grid[..., 3] = occ.astype(np.float32)
+    got = np.asarray(gi.sweep_lightgrid(jnp.asarray(grid), axis=0))
+    for y in range(4):
+        for x in range(4):
+            expect = _sweep_numpy_line(grid[:, y, x].copy())
+            np.testing.assert_allclose(got[:, y, x], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_sweep_axis_rotation():
+    grid = jnp.zeros((8, 8, 8, 4))
+    for axis in range(3):
+        out = gi.sweep_lightgrid(grid, axis=axis)
+        assert out.shape == grid.shape
+        # empty grid fills with skylight-derived values > 0
+        assert float(out[..., :3].min()) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Shadowing
+
+
+def test_sun_matrices_angles():
+    sun_from_world, sun_dir = shadow.sun_matrices(0.0, 0.0)
+    # angle 0: no rotation; sun looks along -z (straight down)
+    np.testing.assert_allclose(np.asarray(sun_dir), [0, 0, -1], atol=1e-6)
+    p = m3.transform_points(sun_from_world, jnp.array([[0.0, 0.0, 40.0]]))
+    assert float(p[0, 2]) == pytest.approx(0.0, abs=1e-5)  # +40 up -> depth 0
+    sun_from_world, sun_dir = shadow.sun_matrices(45.0, 0.0)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(sun_dir)), 1.0, atol=1e-5)
+    assert abs(float(sun_dir[1])) > 0.5  # tilted toward +-y
+
+
+def test_sun_visibility_occluder():
+    # depth map: occluder at depth 0.3 over left half, far (1.0) right half
+    s = 64
+    depth = np.ones((s, s), np.float32)
+    depth[:, : s // 2] = 0.3
+    sun_from_world, _ = shadow.sun_matrices(0.0, 0.0)
+    # points below the occluder (z<0 -> depth>0.5) on each side
+    pts = jnp.array([[-20.0, 0.0, -10.0], [20.0, 0.0, -10.0]])
+    nrm = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    z = jnp.zeros(2)
+    vis = np.asarray(
+        shadow.sun_visibility(jnp.asarray(depth), sun_from_world, pts, nrm, z, z)
+    )
+    assert vis[0] < 0.1  # shadowed under the occluder
+    assert vis[1] > 0.9  # lit
+
+
+def test_light_shafts_accumulate_when_visible():
+    s = 32
+    depth = jnp.ones((s, s), jnp.float32)  # fully open sky
+    sun_from_world, _ = shadow.sun_matrices(0.0, 0.0)
+    cam = jnp.array([0.0, 0.0, 0.0])
+    target = jnp.array([[10.0, 0.0, 0.0]])
+    nrm = jnp.array([[0.0, 0.0, 1.0]])
+    shafts = np.asarray(
+        shadow.light_shafts(depth, sun_from_world, cam, target, nrm,
+                            jnp.zeros(1), jnp.array([1.0, 0.9, 0.7]))
+    )
+    assert shafts[0, 0] > 0.0
+    # fully occluded map -> zero
+    shafts0 = np.asarray(
+        shadow.light_shafts(jnp.zeros((s, s)) - 1.0, sun_from_world, cam, target, nrm,
+                            jnp.zeros(1), jnp.array([1.0, 0.9, 0.7]))
+    )
+    assert shafts0[0, 0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# GI marches
+
+
+def test_sample_radiance_sees_lit_voxel():
+    n = 32
+    grid = np.zeros((n, n, n, 4), np.float32)
+    # a lit wall at x index 20..21 (alpha keeps it "open" in front)
+    grid[:, :, 20:22, :3] = 5.0
+    grid[:, :, 20:22, 3] = 0.0  # radiant fog, stays open
+    out = np.asarray(
+        gi.sample_radiance(
+            jnp.asarray(grid),
+            jnp.array([[0.0, 0.0, 0.0]]),
+            jnp.array([[1.0, 0.0, 0.0]]),  # +x ray
+            lightgrid_scale=1.0 / 16.0,
+            num_steps=12,
+        )
+    )
+    assert out[0].max() > 0.0
+
+
+def test_sample_radiance_blocked_returns_zero():
+    n = 16
+    grid = np.zeros((n, n, n, 4), np.float32)
+    grid[..., 3] = 1.0  # fully solid everywhere
+    out = np.asarray(
+        gi.sample_radiance(
+            jnp.asarray(grid),
+            jnp.array([[0.0, 0.0, 0.0]]),
+            jnp.array([[1.0, 0.0, 0.0]]),
+            lightgrid_scale=1.0 / 8.0,
+        )
+    )
+    np.testing.assert_allclose(out[0], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# TAA
+
+
+def test_taa_static_scene_converges():
+    rng = np.random.default_rng(2)
+    y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    clean = jnp.asarray(
+        np.stack([x / 32, y / 32, (x + y) / 64], -1).astype(np.float32)
+    )  # smooth: the Mitchell source filter reproduces linear ramps
+    depth = jnp.full((32, 32), 0.5)
+    vel = jnp.zeros((32, 32, 2))
+    history = clean
+    noisy = clean + 0.01 * jnp.asarray(rng.normal(0, 1, (32, 32, 3)).astype(np.float32))
+    out = taa.taa_resolve(noisy, depth, vel, vel, history)
+    # with zero velocity and matching history, output stays close to history
+    err_out = float(jnp.abs(out - clean).mean())
+    err_in = float(jnp.abs(noisy - clean).mean())
+    assert err_out < err_in
+
+
+def test_taa_offscreen_reprojection_rejects_history():
+    clean = jnp.ones((16, 16, 3))
+    depth = jnp.full((16, 16), 0.5)
+    vel = jnp.full((16, 16, 2), 5.0)  # reprojects far off screen
+    history = jnp.zeros((16, 16, 3))
+    out = taa.taa_resolve(clean, depth, vel, vel, history)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+
+
+def test_bloom_preserves_dark_and_spreads_bright():
+    img = jnp.zeros((64, 64, 3)).at[32, 32].set(100.0)
+    out = np.asarray(bloom_mod.bloom(img, passes=4, strength=0.06))
+    # energy spread: neighbors of the spike gain light
+    assert out[20, 20].sum() > 0.0
+    # the spike itself keeps most of its energy
+    assert out[32, 32, 0] > 90.0
+    # black stays black-ish far away... (tent chain reaches everywhere at 1/16 res,
+    # but magnitude is tiny)
+    assert out[2, 2, 0] < 1.0
+
+
+def test_bloom_constant_image_adds_strength_fraction():
+    img = jnp.full((64, 64, 3), 0.5)
+    out = np.asarray(bloom_mod.bloom(img, passes=4, strength=0.06))
+    # downsamples of a constant are constant (weights sum 1); firefly clamp no-op;
+    # final = 0.5 + 0.06*0.5 in the interior
+    np.testing.assert_allclose(out[16:48, 16:48], 0.5 * 1.06, rtol=1e-3)

@@ -1,0 +1,301 @@
+"""The renderer: owns resources and the single jitted frame function.
+
+This is the TPU replacement for InitRenderer + BuildRenderCommands + the
+GPU_Graph machinery (render.cpp:654-873, 954-1196; gpu_vulkan.c graphs).  The
+whole 9-pass frame is ONE jit-compiled function over device arrays — XLA's
+dataflow replaces GPU_InsertBarriers, buffer donation replaces the ping-pong
+render targets, and `lax.cond` replaces the CPU-side re-voxelize condition
+(render.cpp:1024).
+
+Frame pass order (matches render.cpp:954-1196):
+  1 sun depth  2 voxelize(cond)  3 lightgrid sweep  4 geometry  5 lighting
+  6 TAA resolve  7 bloom down  8 bloom up  9 tonemap
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..gpu import sampling
+from ..raster import setup as rsetup
+from ..raster import xla_raster
+from ..shade import bloom as bloom_mod
+from ..shade import gbuffer as gb
+from ..shade import gi, lighting, shadow, taa
+from ..utils import color as colorlib
+from ..utils import math3d as m3
+from ..utils import noise as noiselib
+from ..bake import cache as bake_cache
+from ..bake import ibl
+
+
+class FrameState(NamedTuple):
+    """Temporal state carried (donated) across frames — the TPU analogue of
+    the reference's ping-pong RTs + persistent lightgrid (render.cpp:680-697)."""
+
+    lightgrid: jnp.ndarray          # [D,D,D,4]
+    taa_history: jnp.ndarray        # [H,W,3] prev TAA output
+    velocity_prev: jnp.ndarray      # [H,W,2]
+    prev_pyramid: jnp.ndarray       # [H/2,Wa,3] prev bloom downscale atlas
+    clip_from_world_prev: jnp.ndarray  # [4,4]
+    sun_angle_prev: jnp.ndarray     # [2]
+    frame_idx: jnp.ndarray          # i32 scalar
+
+
+class CameraState(NamedTuple):
+    """Host-computed camera matrices for one frame (camera.h:102-120)."""
+
+    clip_from_world: jnp.ndarray
+    clip_from_view: jnp.ndarray
+    world_from_clip: jnp.ndarray
+    view_from_clip: jnp.ndarray
+    view_from_world: jnp.ndarray
+    world_from_view: jnp.ndarray
+    position: jnp.ndarray           # [3]
+
+
+def make_camera(position, target, cfg: RenderConfig, up=(0.0, 0.0, 1.0)) -> CameraState:
+    view_from_world = m3.look_at(position, target, up)
+    clip_from_view = m3.perspective_lh_zo(
+        np.deg2rad(cfg.fov_y_deg), cfg.aspect, cfg.z_near, cfg.z_far
+    )
+    clip_from_world = clip_from_view @ view_from_world
+    return CameraState(
+        clip_from_world=clip_from_world,
+        clip_from_view=clip_from_view,
+        world_from_clip=m3.inverse(clip_from_world),
+        view_from_clip=m3.inverse(clip_from_view),
+        view_from_world=view_from_world,
+        world_from_view=m3.inverse(view_from_world),
+        position=jnp.asarray(position, jnp.float32),
+    )
+
+
+def init_frame_state(cfg: RenderConfig) -> FrameState:
+    d = cfg.lightgrid_size
+    h, w = cfg.height, cfg.width
+    ph, pw = h // 2, w // 2
+    offs, pwa = sampling.mip_offsets(ph, pw, cfg.bloom_pass_count)
+    return FrameState(
+        lightgrid=jnp.zeros((d, d, d, 4), jnp.float32),
+        taa_history=jnp.zeros((h, w, 3), jnp.float32),
+        velocity_prev=jnp.zeros((h, w, 2), jnp.float32),
+        prev_pyramid=jnp.zeros((ph, pwa, 3), jnp.float32),
+        clip_from_world_prev=jnp.eye(4, dtype=jnp.float32),
+        sun_angle_prev=jnp.full((2,), jnp.inf, jnp.float32),
+        frame_idx=jnp.int32(0),
+    )
+
+
+def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla"):
+    """Raster the scene: returns (TriSetup, depth, tri_id)."""
+    clip = rsetup.transform_to_clip(scene.positions, mat, jitter)
+    tri_clip = clip[scene.indices]
+    s = rsetup.setup_triangles(tri_clip, width, height, cull=cull)
+    if backend == "pallas":
+        from ..raster import visibility
+
+        depth, tri = visibility.rasterize_vis_tiled(s, width, height)
+    else:
+        depth, tri = xla_raster.rasterize_vis(s, width, height)
+    return s, depth, tri
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "raster_backend"), donate_argnames=("state",))
+def render_frame(
+    scene,
+    state: FrameState,
+    cam: CameraState,
+    sun_angle,               # [2] degrees (params.sun_angle, render.h:207)
+    prefiltered_env,         # [6,S,Wa,3]
+    brdf_lut,                # [L,L,2]
+    cfg: RenderConfig,
+    raster_backend: str = "xla",
+):
+    """One full frame.  Returns (new_state, final_srgb_image [H,W,3])."""
+    h, w = cfg.height, cfg.width
+    frame_idx = state.frame_idx
+    fidx_f = frame_idx.astype(jnp.float32)
+
+    jitter = noiselib.taa_jitter(fidx_f, w, h)
+    jitter_prev = noiselib.taa_jitter(jnp.maximum(fidx_f - 1.0, 0.0), w, h)
+
+    sun_from_world, sun_dir = shadow.sun_matrices(
+        sun_angle[0], sun_angle[1], cfg.sun_half_size
+    )
+
+    old_clip_from_world = jnp.where(
+        frame_idx == 0, cam.clip_from_world, state.clip_from_world_prev
+    )
+
+    # ---- pass 1: sun depth (render.cpp:999-1020) -------------------------
+    if cfg.enable_shadows:
+        _, sun_depth, _ = _rasterize(
+            scene, sun_from_world, cfg.shadow_map_size, cfg.shadow_map_size,
+            cull="none", backend=raster_backend,
+        )
+        sun_depth = jnp.where(jnp.isinf(sun_depth), 1.0, sun_depth)
+    else:
+        sun_depth = jnp.ones((cfg.shadow_map_size,) * 2, jnp.float32)
+
+    # ---- pass 2: voxelize (cond; render.cpp:1022-1057) -------------------
+    if cfg.enable_gi:
+        revox = (frame_idx == 0) | jnp.any(sun_angle != state.sun_angle_prev)
+
+        def do_voxelize(grid):
+            return gi.voxelize_scene(
+                scene, cfg.lightgrid_size, cfg.lightgrid_scale, sun_depth,
+                sun_from_world, sun_dir,
+                cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
+            )
+
+        lightgrid = jax.lax.cond(revox, do_voxelize, lambda g: g, state.lightgrid)
+
+        # ---- pass 3: sweep, axis rotates per frame (render.cpp:1064-1069)
+        axis = frame_idx % 3
+        lightgrid = jax.lax.switch(
+            axis,
+            [
+                lambda g: gi.sweep_lightgrid(g, 2, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
+                lambda g: gi.sweep_lightgrid(g, 1, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
+                lambda g: gi.sweep_lightgrid(g, 0, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
+            ],
+            lightgrid,
+        )
+    else:
+        lightgrid = state.lightgrid
+
+    # ---- pass 4: geometry -> G-buffer (render.cpp:1074-1115) -------------
+    s, depth, tri = _rasterize(
+        scene, cam.clip_from_world, w, h, jitter=jitter, cull="back",
+        backend=raster_backend,
+    )
+    gbuf = gb.gbuffer_pass(
+        scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
+        cam.clip_from_world, old_clip_from_world, cfg.alpha_test_threshold,
+    )
+
+    # ---- pass 5: lighting ------------------------------------------------
+    glob = lighting.Globals(
+        clip_from_world=cam.clip_from_world,
+        clip_from_view=cam.clip_from_view,
+        world_from_clip=cam.world_from_clip,
+        view_from_clip=cam.view_from_clip,
+        view_from_world=cam.view_from_world,
+        world_from_view=cam.world_from_view,
+        sun_from_world=sun_from_world,
+        old_clip_from_world=old_clip_from_world,
+        sun_direction=sun_dir,
+        camera_pos=cam.position,
+        frame_idx_mod_59=(frame_idx % 59).astype(jnp.float32),
+        taa_jitter=jitter,
+        taa_jitter_prev=jitter_prev,
+    )
+    res = lighting.LightingResources(
+        sun_depth=sun_depth,
+        lightgrid=lightgrid,
+        prefiltered_env=prefiltered_env,
+        brdf_lut=brdf_lut,
+        prev_frame_atlas=state.prev_pyramid,
+    )
+    if cfg.visualize_lightgrid:
+        hdr = lighting.visualize_lightgrid_pass(glob, res, cfg, w, h)
+    else:
+        hdr = lighting.lighting_pass(gbuf, glob, res, cfg)
+
+    # ---- pass 6: TAA resolve (render.cpp:1129-1139) ----------------------
+    if cfg.enable_taa:
+        history = jnp.where(frame_idx == 0, hdr, state.taa_history)
+        taa_out = taa.taa_resolve(
+            hdr, gbuf.depth, gbuf.velocity, state.velocity_prev, history,
+            cfg.taa_blend, cfg.taa_velocity_rejection,
+        )
+    else:
+        taa_out = hdr
+
+    # ---- passes 7-8: bloom (render.cpp:1142-1178) ------------------------
+    if cfg.enable_bloom:
+        bloom_out, downs = bloom_mod.bloom_with_pyramid(
+            taa_out, cfg.bloom_pass_count, cfg.bloom_strength
+        )
+        pyramid = sampling.pack_mip_atlas(downs)
+    else:
+        bloom_out = taa_out
+        pyramid = state.prev_pyramid
+
+    # ---- pass 9: tonemap (final_post_process.glsl:31-34) -----------------
+    final = colorlib.gamma_encode(colorlib.aces_approx(cfg.exposure * bloom_out))
+
+    new_state = FrameState(
+        lightgrid=lightgrid,
+        taa_history=taa_out,
+        velocity_prev=gbuf.velocity,
+        prev_pyramid=pyramid,
+        clip_from_world_prev=cam.clip_from_world,
+        sun_angle_prev=jnp.asarray(sun_angle, jnp.float32),
+        frame_idx=frame_idx + 1,
+    )
+    return new_state, final
+
+
+class Renderer:
+    """Host-side orchestration: bake IBL once, then step frames.
+
+    Mirrors main.cpp: init (window/GPU/renderer/assets) then the frame loop.
+    """
+
+    def __init__(self, cfg: RenderConfig, scene, env_faces=None, use_cache=True,
+                 raster_backend="auto"):
+        self.cfg = cfg
+        self.scene = scene
+        if raster_backend == "auto":
+            raster_backend = "xla" if scene.num_tris <= 4096 else "pallas"
+        self.raster_backend = raster_backend
+
+        if env_faces is None:
+            from ..assets import procedural
+
+            env_faces = procedural.make_sky_cubemap(128)
+        env = jnp.asarray(env_faces, jnp.float32)
+        env_atlas = sampling.build_cube_mip_atlas(env)
+        self.env_base = env.shape[1]
+
+        if cfg.enable_ibl or True:  # sky fallback always needs the env atlas
+            self.prefiltered_env = bake_cache.cached_bake(
+                "prefiltered_env",
+                lambda: ibl.bake_prefiltered_env(
+                    env_atlas, self.env_base, cfg.prefiltered_env_size,
+                    cfg.prefiltered_env_min_size, cfg.prefilter_samples,
+                ),
+                env, cfg.prefiltered_env_size, cfg.prefilter_samples,
+                enabled=use_cache,
+            )
+            self.brdf_lut = bake_cache.cached_bake(
+                "brdf_lut",
+                lambda: ibl.bake_brdf_lut(cfg.brdf_lut_size, cfg.brdf_lut_samples),
+                cfg.brdf_lut_size, cfg.brdf_lut_samples,
+                enabled=use_cache,
+            )
+            self.irradiance = bake_cache.cached_bake(
+                "irradiance",
+                lambda: ibl.bake_irradiance(
+                    env_atlas, self.env_base, cfg.irradiance_size, cfg.irradiance_samples
+                ),
+                env, cfg.irradiance_size, cfg.irradiance_samples,
+                enabled=use_cache,
+            )
+        self.state = init_frame_state(cfg)
+
+    def render(self, cam: CameraState, sun_angle=(50.0, 30.0)):
+        """Render one frame; updates temporal state. Returns [H,W,3] float."""
+        self.state, img = render_frame(
+            self.scene, self.state, cam, jnp.asarray(sun_angle, jnp.float32),
+            self.prefiltered_env, self.brdf_lut, self.cfg, self.raster_backend,
+        )
+        return img

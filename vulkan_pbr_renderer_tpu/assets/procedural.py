@@ -109,6 +109,40 @@ def bump_normal_texture(size=64, freq=4, amp=0.3):
     return (n[..., :2] * 0.5 + 0.5).astype(np.float32)
 
 
+def make_sky_cubemap(size=128, sun_dir=(0.3, 0.2, -0.9), ground=(0.25, 0.22, 0.2),
+                     horizon=(0.85, 0.9, 1.0), zenith=(0.25, 0.45, 0.95),
+                     sun_intensity=30.0):
+    """Procedural HDR sky env cubemap [6,S,S,3] — stand-in for the stripped
+    shipyard_cranes_track_cube.hdr (SURVEY.md §2.6).  sun_dir points FROM the
+    sun (matches the reference's sun_direction convention)."""
+    import jax.numpy as jnp
+
+    from ..gpu import sampling
+
+    sd = np.asarray(sun_dir, np.float64)
+    sd /= np.linalg.norm(sd)
+    faces = []
+    uv1 = (np.arange(size) + 0.5) / size
+    u, v = np.meshgrid(uv1, uv1, indexing="xy")
+    uvg = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+    for f in range(6):
+        d = np.asarray(
+            sampling.cubemap_dir_from_face_uv(jnp.full((size, size), f, jnp.int32), uvg)
+        )
+        up = np.clip(d[..., 2], -1, 1)
+        sky = np.where(
+            (up >= 0)[..., None],
+            np.asarray(horizon)
+            + (np.asarray(zenith) - np.asarray(horizon)) * (np.maximum(up[..., None], 0.0) ** 0.7),
+            np.asarray(horizon) + (np.asarray(ground) - np.asarray(horizon)) * np.minimum(1, -up[..., None] * 4),
+        )
+        cos_sun = -(d @ sd)
+        disk = np.exp((cos_sun - 1.0) * 4000.0) * sun_intensity
+        sky = sky + disk[..., None] * np.array([1.0, 0.9, 0.7])
+        faces.append(sky.astype(np.float32))
+    return np.stack(faces)
+
+
 def transform_part(part: MeshPart, matrix: np.ndarray) -> MeshPart:
     """Apply a rigid [4,4] transform to a host-side part."""
     p = part.positions @ matrix[:3, :3].T + matrix[:3, 3]

@@ -330,14 +330,29 @@ def build_mip_atlas(tex, levels=None):
     return atlas
 
 
-def sample_mip_atlas(atlas, base_h, base_w, uv, lod, mode="clamp"):
+def pack_mip_atlas(levels_list):
+    """Pack an explicit list of mip images (level k shaped ~[H>>k, W>>k, C])
+    into one atlas compatible with sample_mip_atlas.  Used to expose the bloom
+    downsample chain as the lighting pass's PREV_FRAME_RESULT pyramid
+    (render.cpp:862 binds bloom_downscale_rt there)."""
+    h, w, c = levels_list[0].shape
+    n = len(levels_list)
+    offs, wa = mip_offsets(h, w, n)
+    atlas = jnp.zeros((h, wa, c), levels_list[0].dtype)
+    for k, lv in enumerate(levels_list):
+        lh, lw = lv.shape[:2]
+        atlas = atlas.at[:lh, offs[k] : offs[k] + lw].set(lv)
+    return atlas
+
+
+def sample_mip_atlas(atlas, base_h, base_w, uv, lod, mode="clamp", levels=None):
     """Trilinear (bilinear + mip lerp) sample from a mip atlas.
 
-    atlas [H,Wa,C] built by build_mip_atlas; uv [...,2]; lod [...] continuous.
-    Matches textureLod semantics for the prev-frame GI reads
-    (lighting_pass.glsl:377: textureLod(PREV_FRAME_RESULT, uv, min(step*5, 5))).
+    atlas [H,Wa,C] built by build_mip_atlas (full chain) or pack_mip_atlas
+    (pass `levels`); uv [...,2]; lod [...] continuous.  Matches textureLod
+    semantics for the prev-frame GI reads (lighting_pass.glsl:377).
     """
-    levels = n_mip_levels(base_h, base_w)
+    levels = levels or n_mip_levels(base_h, base_w)
     offs, _ = mip_offsets(base_h, base_w, levels)
     offs_arr = jnp.array(offs, jnp.int32)
     lh_arr = jnp.array([max(1, base_h >> k) for k in range(levels)], jnp.int32)

@@ -1,0 +1,87 @@
+"""Physically-based bloom — port of bloom_downsample.glsl / bloom_upsample.glsl.
+
+The reference runs 6 fullscreen passes down a half-res mip chain with the
+13-tap Jimenez/CoD filter (downsample, weights 0.125/0.03125/0.0625/0.125 and
+a firefly clamp at mip 1), then 6 additive 9-tap tent upsample passes with the
+final level scaled by 0.06 (bloom strength).
+
+TPU-native formulation: every tap at `uv + k*src_texel` equals a bilinear
+resize of the integer-shifted source, so each pass is a weighted sum of
+`resize(shift(src))` terms — dense VPU math with zero gathers, uv-exact for
+any resolution (shift is edge-clamped like SAMPLER_LINEAR_CLAMP).  The tent
+taps at +/-1.5 src texels become +/-3-dst-pixel shifts of the 2x-upsampled
+image (exact at 2:1 ratios).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift_edge(img, dy, dx):
+    h, w = img.shape[:2]
+    ay, ax = abs(dy), abs(dx)
+    pad = [(ay, ay), (ax, ax), (0, 0)]
+    p = jnp.pad(img, pad, mode="edge")
+    return p[ay + dy : ay + dy + h, ax + dx : ax + dx + w]
+
+
+def _resize(img, h, w):
+    return jax.image.resize(img, (h, w) + img.shape[2:], method="linear")
+
+
+def downsample_13tap(src, dst_h, dst_w, firefly_clamp=False):
+    """One bloom downsample level (bloom_downsample.glsl:38-99)."""
+    taps = [
+        (0, 0, 0.125),
+        (-2, -2, 0.03125), (2, -2, 0.03125), (-2, 2, 0.03125), (2, 2, 0.03125),
+        (0, -2, 0.0625), (-2, 0, 0.0625), (2, 0, 0.0625), (0, 2, 0.0625),
+        (-1, -1, 0.125), (1, -1, 0.125), (-1, 1, 0.125), (1, 1, 0.125),
+    ]
+    out = 0.0
+    for (dx, dy, wgt) in taps:
+        out = out + wgt * _resize(_shift_edge(src, dy, dx), dst_h, dst_w)
+    if firefly_clamp:
+        out = jnp.minimum(out, 1.0)
+    return out
+
+
+def upsample_tent9(src, dst_h, dst_w, factor=1.0):
+    """One bloom upsample level (bloom_upsample.glsl:23-59): 9-tap tent of
+    radius 1.5 src texels, scaled by `factor` (0.06 at the final level)."""
+    up = _resize(src, dst_h, dst_w)
+    out = 0.0
+    for dy, wy in ((-3, 1.0), (0, 2.0), (3, 1.0)):
+        for dx, wx in ((-3, 1.0), (0, 2.0), (3, 1.0)):
+            out = out + (wx * wy) * _shift_edge(up, dy, dx)
+    return out * (factor / 16.0)
+
+
+def bloom(hdr, passes=6, strength=0.06):
+    """Full bloom pyramid (render.cpp:1142-1178): 6 downsamples to 1/64 res,
+    then 6 tent upsamples; intermediate upscale RTs are cleared in the
+    reference (render.cpp:1157), so the up chain reads ONLY the previous
+    upsample — no down-level accumulation.  Mip 0 holds the blitted TAA image
+    plus the final tent scaled by `strength` (0.06): out = hdr + s*tent(up1).
+    """
+    out, _ = bloom_with_pyramid(hdr, passes, strength)
+    return out
+
+
+def bloom_with_pyramid(hdr, passes=6, strength=0.06):
+    """bloom() + the downsample chain [down1..downN] (sizes H/2..H/2^N).
+
+    The chain is exactly what the reference's lighting pass reads next frame
+    as PREV_FRAME_RESULT (render.cpp:862 binds bloom_downscale_rt there).
+    """
+    h, w = hdr.shape[:2]
+    sizes = [(max(1, h >> i), max(1, w >> i)) for i in range(passes + 1)]
+    downs = []
+    cur = hdr
+    for i in range(1, passes + 1):
+        cur = downsample_13tap(cur, *sizes[i], firefly_clamp=(i == 1))
+        downs.append(cur)
+    for i in range(passes - 1, 0, -1):
+        cur = upsample_tent9(cur, *sizes[i], factor=1.0)
+    return hdr + upsample_tent9(cur, *sizes[0], factor=strength), downs

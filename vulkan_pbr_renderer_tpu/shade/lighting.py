@@ -1,0 +1,245 @@
+"""The deferred lighting pass — port of lighting_pass.glsl:432-716.
+
+Per pixel: reconstruct positions from depth, cosine-hemisphere bent normal,
+4-tap PCF sun shadow, volumetric light shafts, Cook-Torrance sun lighting,
+hybrid-traced diffuse + specular GI weighted by the split-sum BRDF LUT,
+emissive, and the sky fallback.  Everything is dense [H,W,...] tensor math —
+the TPU replacement for the reference's 16-resource fullscreen fragment pass
+(render.cpp:1117-1127).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..gpu import sampling
+from ..utils import math3d as m3
+from ..utils import noise as noiselib
+from . import brdf, gi, shadow
+
+
+class Globals(NamedTuple):
+    """Per-frame uniforms — mirrors RendererGlobalsBuffer (render.h:122-136)."""
+
+    clip_from_world: jnp.ndarray
+    clip_from_view: jnp.ndarray
+    world_from_clip: jnp.ndarray
+    view_from_clip: jnp.ndarray
+    view_from_world: jnp.ndarray
+    world_from_view: jnp.ndarray
+    sun_from_world: jnp.ndarray
+    old_clip_from_world: jnp.ndarray
+    sun_direction: jnp.ndarray     # [3]
+    camera_pos: jnp.ndarray        # [3]
+    frame_idx_mod_59: jnp.ndarray  # scalar f32
+    taa_jitter: jnp.ndarray        # [2] ndc
+    taa_jitter_prev: jnp.ndarray   # [2]
+
+
+class LightingResources(NamedTuple):
+    """Textures read by the lighting pass (render.cpp:829-871 bindings)."""
+
+    sun_depth: jnp.ndarray            # [S,S]
+    lightgrid: jnp.ndarray            # [D,D,D,4]
+    prefiltered_env: jnp.ndarray      # [6,S,Wa,3] cube mip atlas
+    brdf_lut: jnp.ndarray             # [L,L,2]
+    prev_frame_atlas: jnp.ndarray     # [H/2,Wa,3] prev frame's bloom downscale
+                                      # pyramid (render.cpp:862 binds it as
+                                      # PREV_FRAME_RESULT in the lighting pass)
+
+
+def reconstruct_positions(depth, world_from_clip, view_from_clip):
+    """depth [H,W] -> (p_world [H,W,3], p_view [H,W,3]) via inverse projection
+    (lighting_pass.glsl:444-451)."""
+    h, w = depth.shape
+    u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+    ndc = jnp.stack(
+        [
+            jnp.broadcast_to(u * 2.0 - 1.0, (h, w)),
+            jnp.broadcast_to(v * 2.0 - 1.0, (h, w)),
+            depth,
+        ],
+        -1,
+    )
+    pw = m3.transform_points(world_from_clip, ndc)
+    p_world = pw[..., :3] / pw[..., 3:4]
+    pv = m3.transform_points(view_from_clip, ndc)
+    p_view = pv[..., :3] / pv[..., 3:4]
+    return p_world, p_view
+
+
+def bent_normal_cosine(n, noise_1, noise_3):
+    """Random cosine-hemisphere direction about N (lighting_pass.glsl:551-585)."""
+    some_vector = m3.normalize(jnp.array([0.7128864983, 0.8217892113, 0.948912748]))
+    tangent = m3.normalize(jnp.cross(jnp.broadcast_to(some_vector, n.shape), n))
+    bitangent = jnp.cross(n, tangent)
+    pitch = jnp.arccos(jnp.sqrt(jnp.clip(1.0 - noise_1, 0.0, 1.0)))
+    yaw = 2.0 * jnp.pi * noise_3
+    sp = jnp.sin(pitch)
+    local = jnp.stack([sp * jnp.cos(yaw), sp * jnp.sin(yaw), jnp.cos(pitch)], -1)
+    return (
+        tangent * local[..., 0:1] + bitangent * local[..., 1:2] + n * local[..., 2:3]
+    )
+
+
+def lighting_pass(
+    g,                      # GBuffer
+    glob: Globals,
+    res: LightingResources,
+    cfg: RenderConfig,
+):
+    """Returns the HDR lighting result [H,W,3]."""
+    h, w = g.depth.shape
+    base_color = g.base_color
+    n = g.normal
+    roughness = g.orm[..., 1]
+    metallic = g.orm[..., 2]
+    emissive = g.emissive * cfg.emissive_scale
+
+    p_world, p_view = reconstruct_positions(g.depth, glob.world_from_clip, glob.view_from_clip)
+
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)) + 0.5
+    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)) + 0.5
+    f59 = glob.frame_idx_mod_59
+    noise_1 = noiselib.frame_noise(px, py, f59)
+    noise_2 = noiselib.frame_noise(px, py, f59, offset=(90.0, 20.0))
+    noise_3 = noiselib.frame_noise(px, py, f59, offset=(522.0, 55.0))
+
+    sun_emission = cfg.sun_emission_scale * jnp.asarray(cfg.sun_color, jnp.float32)
+
+    v = m3.normalize(glob.camera_pos - p_world)
+    v_dot_n = jnp.maximum(m3.dot(v, n), 0.0)
+
+    outgoing = jnp.zeros((h, w, 3), jnp.float32)
+
+    # --- sun shadow + direct light (glsl:592-679) -------------------------
+    if cfg.enable_shadows:
+        vis = shadow.sun_visibility(
+            res.sun_depth, glob.sun_from_world, p_world, n, noise_1, noise_2,
+            cfg.shadow_normal_offset,
+        )
+    else:
+        vis = jnp.ones((h, w), jnp.float32)
+
+    l = -glob.sun_direction
+    direct = brdf.cook_torrance_direct(
+        n, v, jnp.broadcast_to(l, n.shape), base_color, roughness, metallic,
+        cfg.f0_dielectric,
+    )
+    outgoing = outgoing + vis[..., None] * direct * sun_emission
+
+    # --- volumetric light shafts (glsl:620-651) ---------------------------
+    if cfg.enable_light_shafts and cfg.enable_shadows:
+        outgoing = outgoing + shadow.light_shafts(
+            res.sun_depth, glob.sun_from_world, glob.camera_pos, p_world, n,
+            noise_1, sun_emission, cfg.light_shaft_intensity,
+            cfg.shadow_normal_offset, max_steps=cfg.light_shaft_steps * 3,
+        )
+
+    # --- split-sum weights (glsl:681) -------------------------------------
+    f0 = brdf.f0_from_metallic(base_color, metallic, cfg.f0_dielectric)
+    lut_uv = jnp.stack([v_dot_n, jnp.maximum(roughness, 0.05)], -1)
+    scale_bias = sampling.sample_bilinear(res.brdf_lut, lut_uv)
+    fresnel_scale = scale_bias[..., 0:1]
+    fresnel_bias = scale_bias[..., 1:2]
+
+    # --- GI (glsl:683-702) ------------------------------------------------
+    if cfg.enable_gi:
+        bent = bent_normal_cosine(n, noise_1, noise_3)
+        ambient = gi.sample_radiance_with_screen_trace(
+            res.lightgrid, g.depth, res.prev_frame_atlas,
+            glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
+            glob.world_from_view,
+            v, jnp.concatenate([p_view, jnp.ones_like(p_view[..., :1])], -1),
+            p_world, bent, cfg.lightgrid_scale,
+            cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, noise_3,
+            cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
+            max_ss_steps=cfg.gi_screen_trace_steps,
+            prev_base=(h // 2, w // 2), prev_levels=cfg.bloom_pass_count,
+        )
+        ks = brdf.fresnel_schlick(v_dot_n, f0)
+        kd = (1.0 - ks) * (1.0 - metallic[..., None])
+        outgoing = outgoing + kd * ambient * base_color
+
+        r = m3.reflect(-v, n)
+        r = m3.normalize(
+            r + 0.6 * roughness[..., None]
+            * (jnp.stack([noise_1, noise_2, noise_3], -1) - 0.5)
+        )
+        r2 = roughness * roughness
+        r = r + (n - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
+        spec_fog = roughness if cfg.gi_specular_foggyness_is_roughness else 0.9
+        spec = gi.sample_radiance_with_screen_trace(
+            res.lightgrid, g.depth, res.prev_frame_atlas,
+            glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
+            glob.world_from_view,
+            v, jnp.concatenate([p_view, jnp.ones_like(p_view[..., :1])], -1),
+            p_world, r, cfg.lightgrid_scale,
+            cfg.gi_specular_steps, cfg.gi_specular_step_scale, noise_3,
+            spec_fog, cfg.gi_specular_ss_intensity,
+            max_ss_steps=cfg.gi_screen_trace_steps,
+            prev_base=(h // 2, w // 2), prev_levels=cfg.bloom_pass_count,
+        )
+        outgoing = outgoing + spec * (f0 * fresnel_scale + fresnel_bias)
+    elif cfg.enable_ibl:
+        # static split-sum IBL path (the pre-GI pipeline, geometry_pass.glsl:322-346
+        # commented reference) — used by the Cerberus config
+        env_size = res.prefiltered_env.shape[1]
+        irr = sampling.sample_cubemap_lod(res.prefiltered_env, env_size, n, jnp.full((h, w), 4.0))
+        ks = brdf.fresnel_schlick(v_dot_n, f0)
+        kd = (1.0 - ks) * (1.0 - metallic[..., None])
+        outgoing = outgoing + kd * irr * base_color
+        r = m3.reflect(-v, n)
+        r2 = roughness * roughness
+        r = r + (n - r) * (r2 * r2)[..., None]
+        spec = sampling.sample_cubemap_lod(res.prefiltered_env, env_size, r, roughness * 4.0)
+        outgoing = outgoing + spec * (f0 * fresnel_scale + fresnel_bias)
+
+    outgoing = outgoing + emissive
+
+    # --- sky fallback (glsl:708-710) --------------------------------------
+    out_of_bounds = jnp.any(jnp.abs(p_world) > cfg.world_bounds, axis=-1) | ~g.coverage
+    env_size = res.prefiltered_env.shape[1]
+    sky = sampling.sample_cubemap_lod(
+        res.prefiltered_env, env_size, -v, jnp.ones((h, w), jnp.float32)
+    )
+    outgoing = jnp.where(out_of_bounds[..., None], sky, outgoing)
+
+    return jnp.maximum(outgoing, 0.0)
+
+
+def visualize_lightgrid_pass(glob: Globals, res: LightingResources, cfg, width, height):
+    """Debug DDA view of the lightgrid (lighting_pass.glsl:463-491)."""
+    h, w = height, width
+    u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w * 2.0 - 1.0
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h * 2.0 - 1.0
+    ndc = jnp.stack([jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w)),
+                     jnp.zeros((h, w))], -1)
+    near4 = m3.transform_points(glob.world_from_clip, ndc)
+    near = near4[..., :3] / near4[..., 3:4]
+
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)) + 0.5
+    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)) + 0.5
+    noise_1 = noiselib.frame_noise(px, py, glob.frame_idx_mod_59)
+
+    ro = near * cfg.lightgrid_scale
+    rd = m3.normalize(near - glob.camera_pos) * (1.0 / cfg.lightgrid_size)
+    ro = ro + noise_1[..., None] * rd
+
+    def body(i, carry):
+        ro_c, sum4, done = carry
+        ro_n = jnp.where(done[..., None], ro_c, ro_c + rd)
+        s = gi.grid_sample(res.lightgrid, ro_n)
+        hit = (s[..., 3] > 0.3) & ~done
+        add = 10.0 * jnp.concatenate([s[..., :3], jnp.ones_like(s[..., :1])], -1)
+        sum4 = jnp.where(hit[..., None], add, sum4)
+        return ro_n, sum4, done | hit
+
+    sum0 = jnp.zeros((h, w, 4)).at[..., 3].set(1e-5)
+    _, sum4, _ = jax.lax.fori_loop(0, 512, body, (ro, sum0, jnp.zeros((h, w), bool)))
+    return gi._tone(sum4)

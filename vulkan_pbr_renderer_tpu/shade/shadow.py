@@ -1,0 +1,98 @@
+"""Sun shadowing: shadow matrix, rotated-grid PCF, volumetric light shafts.
+
+Covers the reference's sun pipeline: the ortho sun matrix construction
+(render.cpp:959-971), the 4-tap rotated-grid PCF with normal-offset bias
+(lighting_pass.glsl:592-608), and the 16-steps-per-unit shadow-space march
+for volumetric light shafts (lighting_pass.glsl:620-651).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..gpu import sampling
+from ..utils import math3d as m3
+
+# rotated-grid PCF offsets in shadow-map texels (lighting_pass.glsl:604-608)
+PCF_OFFSETS = (
+    (0.75, 0.25),
+    (-0.25, 0.75),
+    (0.25, -0.75),
+    (-0.75, -0.25),
+)
+
+
+def sun_matrices(sun_angle_x_deg, sun_angle_y_deg, half_size=40.0):
+    """(sun_space_from_world, sun_dir) per render.cpp:962-970.
+
+    sun_ori = Rotate_RH(angle.x, axis=(cos(angle.y), sin(angle.y), 0));
+    sun_space = ortho(-h..h)^3 @ inv(sun_ori); sun_dir = sun_ori @ (0,0,-1).
+    """
+    ax = jnp.deg2rad(jnp.asarray(sun_angle_x_deg, jnp.float32))
+    ay = jnp.deg2rad(jnp.asarray(sun_angle_y_deg, jnp.float32))
+    axis = jnp.stack([jnp.cos(ay), jnp.sin(ay), jnp.zeros_like(ay)], -1)
+    sun_ori = m3.rotate_rh(ax, axis)
+    ortho = m3.orthographic_rh_zo(-half_size, half_size, -half_size, half_size,
+                                  -half_size, half_size)
+    sun_space_from_world = ortho @ m3.inverse(sun_ori)
+    sun_dir = m3.transform_dirs(sun_ori, jnp.array([0.0, 0.0, -1.0]))
+    return sun_space_from_world, sun_dir
+
+
+def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
+                   noise_1, noise_2, normal_offset=0.1):
+    """4-tap PCF sun visibility in [0,1] (lighting_pass.glsl:592-608).
+
+    sun_depth [S,S]; world_pos/normal [...,3]; noise_* [...] per-pixel.
+    """
+    s = sun_depth.shape[0]
+    px = 1.0 / s
+    p = world_pos + normal * normal_offset
+    sun_p = m3.transform_points(sun_space_from_world, p)[..., :3]
+    uv = sun_p[..., :2] * 0.5 + 0.5
+    ref = sun_p[..., 2]
+    # per-pixel jitter of the tap centre (glsl:600)
+    uv = uv + 2.0 * jnp.stack([noise_2 - 0.5, noise_1 - 0.5], -1) * px
+    vis = 0.0
+    for (ox, oy) in PCF_OFFSETS:
+        vis = vis + sampling.sample_depth_compare(
+            sun_depth, uv + jnp.array([ox * px, oy * px], jnp.float32), ref
+        )
+    return vis * 0.25
+
+
+def light_shafts(sun_depth, sun_space_from_world, camera_pos, world_pos, normal,
+                 noise_1, sun_emission, intensity=0.001, normal_offset=0.1,
+                 max_steps=48):
+    """Volumetric shaft march (lighting_pass.glsl:620-651).
+
+    March from the camera to the surface point in shadow-map space with
+    absolute step 1/16; accumulate intensity * visibility * sun_emission per
+    step.  The reference's while(true) is bounded here by max_steps (48 covers
+    the worst-case corner-to-corner distance of ~3 sun-NDC units).
+    """
+    cam_sun = m3.transform_points(sun_space_from_world, camera_pos)[..., :3]
+    p_sun = m3.transform_points(
+        sun_space_from_world, world_pos + normal * normal_offset
+    )[..., :3]
+    delta = p_sun - cam_sun
+    dist = jnp.linalg.norm(delta, axis=-1)
+    step_size = 1.0 / 16.0
+    step = step_size * delta / jnp.maximum(dist, 1e-8)[..., None]
+
+    pos0 = cam_sun + step * noise_1[..., None]
+    trav0 = step_size * noise_1
+
+    def body(i, carry):
+        acc, pos, trav = carry
+        pos = pos + step
+        trav = trav + step_size
+        active = trav <= dist
+        uv = pos[..., :2] * 0.5 + 0.5
+        vis = sampling.sample_depth_compare(sun_depth, uv, pos[..., 2])
+        acc = acc + jnp.where(active, vis, 0.0)
+        return acc, pos, trav
+
+    acc, _, _ = jax.lax.fori_loop(0, max_steps, body, (jnp.zeros_like(dist), pos0, trav0))
+    return acc[..., None] * (intensity * sun_emission)

@@ -1,0 +1,89 @@
+"""Temporal anti-aliasing resolve — port of taa_resolve.glsl:180-287.
+
+Per pixel: Mitchell-Netravali-weighted 3x3 source filter, neighborhood
+first/second moments, closest-depth velocity dilation, Catmull-Rom history
+resampling at the reprojected uv, variance clipping to mu +/- gamma*sigma,
+and velocity-difference-based history rejection.
+
+Deviation from the reference, on purpose: the reference's dilation loop reads
+the depth at the *unshifted* uv (taa_resolve.glsl:215 samples `uv`, not
+`sample_uv`), which degenerates closest_depth_uv to the constant (-1,-1)
+neighbor.  We implement the intended closest-depth dilation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gpu import sampling
+
+
+def _mitchell(x, b=1.0 / 3.0, c=1.0 / 3.0):
+    ax = abs(x)
+    if ax < 1:
+        return ((12 - 9 * b - 6 * c) * ax**3 + (-18 + 12 * b + 6 * c) * ax**2 + (6 - 2 * b)) / 6
+    if ax < 2:
+        return ((-b - 6 * c) * ax**3 + (6 * b + 30 * c) * ax**2 + (-12 * b - 48 * c) * ax + (8 * b + 24 * c)) / 6
+    return 0.0
+
+
+def _shift_edge(img, dy, dx):
+    """Image shifted so out[y,x] = img[y+dy, x+dx], edge-clamped."""
+    h, w = img.shape[:2]
+    pad = [(1, 1), (1, 1)] + [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(p, 1 + dy, h, 0), 1 + dx, w, 1
+    )
+
+
+def taa_resolve(
+    lighting,        # [H,W,3] current lighting result
+    depth,           # [H,W]
+    velocity,        # [H,W,2] current ndc velocity
+    velocity_prev,   # [H,W,2] previous frame's velocity buffer
+    history,         # [H,W,3] previous TAA output
+    blend=0.05,
+    velocity_rejection=1000.0,
+    gamma=1.0,
+):
+    """Returns the new TAA output [H,W,3]."""
+    h, w = depth.shape
+    offsets = [(dy, dx) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    neighbors = jnp.stack([_shift_edge(lighting, dy, dx) for (dy, dx) in offsets])
+    weights = jnp.asarray(
+        [_mitchell(np.hypot(dx, dy)) for (dy, dx) in offsets], jnp.float32
+    )
+
+    source = jnp.einsum("nhwc,n->hwc", neighbors, weights) / jnp.sum(weights)
+    m1 = jnp.mean(neighbors, axis=0)
+    m2 = jnp.mean(neighbors**2, axis=0)
+    sigma = jnp.sqrt(jnp.abs(m2 - m1 * m1))
+    minc = m1 - gamma * sigma
+    maxc = m1 + gamma * sigma
+
+    # closest-depth velocity dilation
+    depths = jnp.stack([_shift_edge(depth, dy, dx) for (dy, dx) in offsets])
+    vels = jnp.stack([_shift_edge(velocity, dy, dx) for (dy, dx) in offsets])
+    nearest = jnp.argmin(depths, axis=0)
+    vel = jnp.take_along_axis(vels, nearest[None, ..., None], axis=0)[0]
+
+    u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+    uv = jnp.stack([jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w))], -1)
+    reproj_uv = uv - vel * 0.5
+
+    prev_vel = sampling.sample_bilinear(velocity_prev, reproj_uv)
+    prev_color = sampling.sample_catmull_rom(history, reproj_uv)
+    prev_color = jnp.clip(prev_color, minc, maxc)
+
+    weight_b = blend + velocity_rejection * jnp.linalg.norm(prev_vel - vel, axis=-1)
+    offscreen = jnp.any((reproj_uv < 0.0) | (reproj_uv > 1.0), axis=-1)
+    weight_b = jnp.where(offscreen, 1.0, weight_b)[..., None]
+    weight_a = jnp.where(offscreen[..., None], 0.0, 1.0 - blend)
+
+    return (source * weight_b + prev_color * weight_a) / jnp.maximum(
+        weight_b + weight_a, 1e-5
+    )
