@@ -1,0 +1,95 @@
+"""The Pallas tile rasterizer must match the XLA reference exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vulkan_pbr_renderer_tpu.assets import MaterialDesc, build_scene, procedural
+from vulkan_pbr_renderer_tpu.raster import binning, setup as rs, visibility, xla_raster as rr
+from vulkan_pbr_renderer_tpu.utils import math3d as m3
+
+
+def _random_tris(n, seed=0, depth_range=(0.1, 0.9)):
+    rng = np.random.default_rng(seed)
+    center = rng.uniform(-1, 1, (n, 1, 2))
+    verts = center + rng.uniform(-0.4, 0.4, (n, 3, 2))
+    z = rng.uniform(*depth_range, (n, 1, 1)).repeat(3, 1)
+    w = np.ones((n, 3, 1), np.float32)
+    return jnp.asarray(np.concatenate([verts, z, w], -1).astype(np.float32))
+
+
+def _compare(clip, W, H, **kw):
+    s = rs.setup_triangles(clip, W, H, cull="none")
+    d_ref, t_ref = rr.rasterize_vis(s, W, H)
+    d_got, t_got = visibility.rasterize_vis_tiled(s, W, H, **kw)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
+    dr = np.asarray(d_ref)
+    dg = np.asarray(d_got)
+    np.testing.assert_allclose(
+        np.where(np.isinf(dr), -1, dr), np.where(np.isinf(dg), -1, dg), atol=1e-6
+    )
+
+
+def test_single_triangle_matches():
+    clip = jnp.asarray(
+        np.array([[[-0.5, -0.5, 0.5, 1.0], [0.5, -0.5, 0.5, 1.0], [0.0, 0.5, 0.5, 1.0]]],
+                 np.float32)
+    )
+    _compare(clip, 256, 128, tile_capacity=256)
+
+
+def test_many_random_triangles_match():
+    clip = _random_tris(300, seed=1)
+    _compare(clip, 256, 160, tile_capacity=512)
+
+
+def test_multi_tile_spanning_triangles():
+    # few huge triangles spanning many tiles
+    clip = _random_tris(8, seed=2)
+    clip = clip.at[:, :, :2].multiply(3.0)
+    _compare(clip, 384, 160, tile_capacity=256)
+
+
+def test_depth_ordering_matches():
+    # heavy overlap: many tris at the same place, distinct depths
+    rng = np.random.default_rng(3)
+    n = 64
+    base = np.array([[[-0.6, -0.6], [0.6, -0.6], [0.0, 0.6]]], np.float32)
+    verts = base + rng.uniform(-0.05, 0.05, (n, 3, 2)).astype(np.float32)
+    z = np.linspace(0.2, 0.8, n, dtype=np.float32)[:, None, None].repeat(3, 1)
+    w = np.ones((n, 3, 1), np.float32)
+    clip = jnp.asarray(np.concatenate([verts, z, w], -1))
+    _compare(clip, 128, 128, tile_capacity=256)
+
+
+def test_scene_raster_through_pipeline():
+    mats = [MaterialDesc()]
+    parts = [procedural.make_plane((0, 0, 0), (10, 10), 2, 0),
+             procedural.make_cube((0, 0, 1), (1.5, 1.5, 1.5), 0),
+             procedural.make_uv_sphere((2, 1, 1), 0.8, 8, 16, 0)]
+    scene = build_scene(parts, mats, texture_size=16)
+    cam = m3.perspective_lh_zo(np.deg2rad(60.0), 1.5, 0.1, 100.0) @ m3.look_at(
+        jnp.array([4.0, -5.0, 3.0]), jnp.array([0.0, 0.0, 0.5])
+    )
+    clip = rs.transform_to_clip(scene.positions, cam)
+    s = rs.setup_triangles(clip[scene.indices], 192, 128, cull="back")
+    d_ref, t_ref = rr.rasterize_vis(s, 192, 128)
+    d_got, t_got = visibility.rasterize_vis_tiled(s, 192, 128, tile_capacity=512)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
+
+
+def test_binning_counts_consistent():
+    clip = _random_tris(100, seed=4)
+    s = rs.setup_triangles(clip, 256, 128, cull="none")
+    bins = binning.bin_triangles(s, 256, 128, tile_capacity=256)
+    assert bins.tiles_x == 2 and bins.tiles_y == 4
+    counts = np.asarray(bins.counts)
+    ids = np.asarray(bins.tri_ids).reshape(bins.tiles_y * bins.tiles_x, -1)
+    for t in range(counts.shape[0]):
+        assert (ids[t, : counts[t]] >= 0).all()
+        assert (ids[t, counts[t]:] == -1).all()
+    # every valid triangle appears in at least one tile
+    valid_ids = set(np.nonzero(np.asarray(s.valid))[0].tolist())
+    binned = set(ids[ids >= 0].tolist())
+    assert valid_ids == binned
