@@ -79,17 +79,22 @@ def test_scene_raster_through_pipeline():
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
 
 
-def test_binning_counts_consistent():
+def test_binning_segments_consistent():
     clip = _random_tris(100, seed=4)
     s = rs.setup_triangles(clip, 256, 128, cull="none")
     bins = binning.bin_triangles(s, 256, 128, tile_capacity=256)
     assert bins.tiles_x == 2 and bins.tiles_y == 4
-    counts = np.asarray(bins.counts)
-    ids = np.asarray(bins.tri_ids).reshape(bins.tiles_y * bins.tiles_x, -1)
-    for t in range(counts.shape[0]):
-        assert (ids[t, : counts[t]] >= 0).all()
-        assert (ids[t, counts[t]:] == -1).all()
+    starts = np.asarray(bins.starts)
+    ids = np.asarray(bins.pair_data[..., 12]).reshape(-1).astype(np.int64)
+    assert (np.diff(starts) >= 0).all()
+    total = starts[-1]
+    assert (ids[:total] >= 0).all()
+    assert (ids[total:] == -1).all()
+    # per-tile segments hold sorted tri ids (stability)
+    for t in range(starts.shape[0] - 1):
+        seg = ids[starts[t] : starts[t + 1]]
+        assert (np.diff(seg) > 0).all()  # each tri at most once per tile
     # every valid triangle appears in at least one tile
     valid_ids = set(np.nonzero(np.asarray(s.valid))[0].tolist())
-    binned = set(ids[ids >= 0].tolist())
+    binned = set(ids[:total].tolist())
     assert valid_ids == binned

@@ -1,20 +1,28 @@
-"""Tile binning: exact per-tile triangle lists, built with XLA sort.
+"""Tile binning: exact per-tile triangle lists, built gather-free.
 
 The reference's rasterizer gets binning for free from fixed-function hardware;
-on TPU we build it from data-parallel primitives with **static shapes**:
+on TPU we build it from data-parallel primitives with **static shapes**.  The
+performance-critical discovery (see git history): XLA random gathers cost
+~13ns/element on v5e, so the classic "expand pairs then gather per-pair
+triangle attributes" pipeline is hopeless.  This implementation uses zero
+per-pair gathers:
 
-1. per-triangle tile-bbox spans -> pair counts (ntx*nty)
-2. exclusive cumsum + searchsorted expands triangles into (tile, tri) pairs
-   inside a fixed capacity buffer (the classic scan-based stream expansion)
-3. a stable sort by tile id groups pairs per tile
-4. per-tile start offsets via searchsorted; a gather builds the [T, cap]
-   triangle-slot table and the packed per-slot coefficient blocks the Pallas
-   kernel consumes ([T, chunks, 16, chunk] — coefficients on sublanes,
-   triangles on lanes).
+1. per-triangle tile-bbox spans -> pair counts (ntx*nty), exclusive cumsum
+2. stream expansion by scatter + cummax forward-fill: each triangle scatters
+   a *monotone* packed value at its pair-run start; cummax fills the run.
+   Three fills carry (tri id), (run start offset), (ntx | base_tile) — so the
+   per-pair tile id is pure dense arithmetic.
+3. one i32 sort of (tile << tri_bits) | tri — the low bits both keep the
+   per-tile order stable AND recover the triangle id without a gather.
+4. per-tile start offsets via a tiny searchsorted (n_tiles+1 queries); the
+   packed coefficients are gathered once into PAIR order ([P,16] — the single
+   gather of the pipeline); the kernel consumes each tile's segment
+   [starts[t], starts[t+1]) directly with chunk-granular blocks and in-kernel
+   lo/hi masking of the partial edge chunks.
 
-Everything is jit-safe; capacities are config constants.  Overflowing
-triangles (beyond pair_capacity or per-tile cap) are dropped — pick
-capacities from the scene budget.
+Packed pair layout [P/chunk, chunk, 16] f32 (triangles on sublanes):
+cols 0-8 edge functions, 9-11 depth plane, 12 tri id (f32, exact < 2^24),
+13-14 pixel-space bbox y0/y1 for the kernel's row-block culling, 15 pad.
 """
 
 from __future__ import annotations
@@ -28,30 +36,38 @@ from .setup import TriSetup
 
 
 class TileBins(NamedTuple):
-    tri_data: jnp.ndarray    # [T, n_chunks, chunk, 16] f32: tris on sublanes;
-                             # cols 0-8 edges, 9-11 depth plane, 12 tri id (f32)
-    tri_ids: jnp.ndarray     # [T, cap] i32 global tri ids (-1 = empty slot)
-    counts: jnp.ndarray      # [T] i32 triangles binned per tile (<= cap)
+    pair_data: jnp.ndarray   # [Pc/chunk, chunk, 16] f32 pair-ordered blocks
+    starts: jnp.ndarray      # [T+1] i32 pair-array segment starts per tile
     tiles_x: int
     tiles_y: int
 
 
 def pack_tri_data(setup: TriSetup):
-    """[N,16] f32 cols: e0(ax,ay,ac) e1(...) e2(...) z(cx,cy,cc) pad4.
+    """[N,16] f32 cols as documented above (id/bbox cols filled by caller).
 
     Invalid triangles get e0 = -1 constant so the coverage test always fails.
     """
     n = setup.adj.shape[0]
     adj = setup.adj  # [N,3,3]; columns j = edge j coefficients
-    # edge j coefficient vector = adj[:, :, j] (x, y, const)
-    e = jnp.transpose(adj, (0, 2, 1)).reshape(n, 9)  # [N, (e0x,e0y,e0c,e1x,...)]
+    e = jnp.transpose(adj, (0, 2, 1)).reshape(n, 9)
     dead = jnp.tile(
         jnp.array([0, 0, -1, 0, 0, 1, 0, 0, 1], jnp.float32), (n, 1)
     )
     e = jnp.where(setup.valid[:, None], e, dead)
     z = setup.c_z
     pad = jnp.zeros((n, 4), jnp.float32)
-    return jnp.concatenate([e, z, pad], axis=1)
+    out = jnp.concatenate([e, z, pad], axis=1)
+    out = out.at[:, 13].set(setup.bbox[:, 1].astype(jnp.float32))
+    out = out.at[:, 14].set(setup.bbox[:, 3].astype(jnp.float32))
+    return out
+
+
+def _fill(scatter_idx, values, capacity):
+    """Scatter `values` (must be monotone over the scatter order) at
+    scatter_idx into a length-`capacity` array, then cummax-forward-fill."""
+    arr = jnp.full((capacity,), -1, jnp.int32)
+    arr = arr.at[scatter_idx].max(values)
+    return jax.lax.cummax(arr)
 
 
 def bin_triangles(
@@ -63,80 +79,85 @@ def bin_triangles(
     pair_capacity=None,
     tile_capacity=4096,
     chunk=128,
+    y_origin=0,
 ) -> TileBins:
+    """height counts rows starting at pixel row `y_origin` (sub-viewport
+    binning for the row-sharded multi-chip path, parallel/sharding.py)."""
     n = setup.adj.shape[0]
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
     if pair_capacity is None:
         pair_capacity = 4 * n
+    pair_capacity = -(-pair_capacity // chunk) * chunk
 
     bbox = setup.bbox
     valid = setup.valid
+    by0 = bbox[:, 1] - y_origin
+    by1 = bbox[:, 3] - y_origin
+    valid = valid & (by1 > 0) & (by0 < height)
     tx0 = jnp.clip(bbox[:, 0] // tile_w, 0, tiles_x - 1)
-    ty0 = jnp.clip(bbox[:, 1] // tile_h, 0, tiles_y - 1)
+    ty0 = jnp.clip(by0 // tile_h, 0, tiles_y - 1)
     tx1 = jnp.clip((bbox[:, 2] - 1) // tile_w, 0, tiles_x - 1)
-    ty1 = jnp.clip((bbox[:, 3] - 1) // tile_h, 0, tiles_y - 1)
-    ntx = jnp.where(valid, tx1 - tx0 + 1, 0)
-    nty = jnp.where(valid, ty1 - ty0 + 1, 0)
-    counts = (ntx * nty).astype(jnp.int32)
-
+    ty1 = jnp.clip((by1 - 1) // tile_h, 0, tiles_y - 1)
+    ntx = jnp.where(valid, tx1 - tx0 + 1, 0).astype(jnp.int32)
+    nty = jnp.where(valid, ty1 - ty0 + 1, 0).astype(jnp.int32)
+    counts = ntx * nty
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
 
-    # Stream expansion without searchsorted (XLA's is O(P log N) gathers and
-    # dominates the frame): scatter each triangle's id at its start offset,
-    # then a forward-fill cummax assigns every pair slot its triangle.
-    p = jnp.arange(pair_capacity, dtype=jnp.int32)
-    starts_arr = jnp.full((pair_capacity,), -1, jnp.int32)
+    tri_ids32 = jnp.arange(n, dtype=jnp.int32)
     scatter_idx = jnp.where(counts > 0, offsets, pair_capacity)  # OOB drops
-    starts_arr = starts_arr.at[scatter_idx].max(jnp.arange(n, dtype=jnp.int32))
-    tri_of = jnp.clip(jax.lax.cummax(starts_arr), 0, n - 1)
+    base_tile = (ty0 * tiles_x + tx0).astype(jnp.int32)
+
+    tile_bits = max(1, int(n_tiles).bit_length())
+    tri_bits = max(1, (n - 1).bit_length())
+    span_bits = 6  # ntx <= 63 tiles across — plenty for 8k-wide screens
+    assert tri_bits + span_bits < 31 and tri_bits + tile_bits < 31, (
+        "triangle count too large for packed binning keys"
+    )
+
+    # three monotone forward-fills: tri id / run start / (tri | ntx) + (tri | base)
+    tri_of = jnp.clip(_fill(scatter_idx, tri_ids32, pair_capacity), 0, n - 1)
+    run_start = jnp.maximum(_fill(scatter_idx, offsets, pair_capacity), 0)
+    ntx_fill = _fill(
+        scatter_idx, (tri_ids32 << span_bits) | jnp.minimum(ntx, 63), pair_capacity
+    ) & ((1 << span_bits) - 1)
+    base_fill = _fill(
+        scatter_idx, (tri_ids32 << tile_bits) | base_tile, pair_capacity
+    ) & ((1 << tile_bits) - 1)
+
+    p = jnp.arange(pair_capacity, dtype=jnp.int32)
     in_range = p < total
-    m = p - offsets[tri_of]
-    mx = m % jnp.maximum(ntx[tri_of], 1)
-    my = m // jnp.maximum(ntx[tri_of], 1)
-    tile = (ty0[tri_of] + my) * tiles_x + (tx0[tri_of] + mx)
+    m = p - run_start
+    ntx_p = jnp.maximum(ntx_fill, 1)
+    tile = base_fill + (m // ntx_p) * tiles_x + (m % ntx_p)
     tile = jnp.where(in_range, tile, n_tiles)  # overflow/invalid sorts last
 
-    # Single-key sort: (tile << shift) | pair index.  The pair index keeps the
-    # within-tile order stable (pairs are generated in triangle order), and is
-    # recovered by masking — one i32 sort is ~2x cheaper than sort_key_val.
-    shift = max(1, (pair_capacity - 1).bit_length())
-    assert (n_tiles + 1) < (1 << (31 - shift)), "pair_capacity too large to pack sort key"
-    key = (tile << shift) | p
+    # single-key sort; low bits = tri id (stable within tile AND gather-free)
+    key = (tile << tri_bits) | tri_of
     skey = jax.lax.sort(key)
-    sort_tile = skey >> shift
-    sort_tri = tri_of[skey & ((1 << shift) - 1)]
+    sort_tile = skey >> tri_bits
+    sort_tri = skey & ((1 << tri_bits) - 1)
 
-    # per-tile [start, count]
+    # per-tile segment starts into the sorted pair array
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(sort_tile, tile_range, side="left").astype(jnp.int32)
-    tile_counts = jnp.minimum(starts[1:] - starts[:-1], tile_capacity)
 
-    # slot table [T, cap]
-    cap = tile_capacity
-    slot = starts[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    slot_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < tile_counts[:, None]
-    slot = jnp.clip(slot, 0, pair_capacity - 1)
-    tri_table = jnp.where(slot_valid, sort_tri[slot], -1)  # [T, cap]
-
-    # gather packed per-slot data; dead rows for empty slots
+    # pair-ordered packed data — the single gather of the pipeline (P rows,
+    # independent of per-tile capacity)
     packed = pack_tri_data(setup)                       # [N,16]
+    pair_valid = p < total
+    data = packed[sort_tri]                             # [P,16]
     dead = jnp.zeros((16,), jnp.float32).at[2].set(-1.0)
-    data = jnp.where(
-        slot_valid[..., None], packed[jnp.maximum(tri_table, 0)], dead
-    )                                                   # [T, cap, 16]
-    # column 12 carries the global tri id as f32 (ids < 2^24 are exact)
-    data = data.at[..., 12].set(tri_table.astype(jnp.float32))
-
-    n_chunks = cap // chunk
-    tri_data = data.reshape(n_tiles, n_chunks, chunk, 16)
-    tri_ids = tri_table
+    data = jnp.where(pair_valid[:, None], data, dead)
+    data = data.at[:, 12].set(
+        jnp.where(pair_valid, sort_tri, -1).astype(jnp.float32)
+    )
+    pair_data = data.reshape(pair_capacity // chunk, chunk, 16)
     return TileBins(
-        tri_data=tri_data,
-        tri_ids=tri_ids,
-        counts=tile_counts,
+        pair_data=pair_data,
+        starts=starts,
         tiles_x=tiles_x,
         tiles_y=tiles_y,
     )

@@ -2,22 +2,23 @@
 
 Consumes the per-tile triangle bins from binning.py and produces the
 visibility buffer (nearest depth + triangle id per pixel), the same contract
-as xla_raster.rasterize_vis but tiled: each grid step rasterizes one
-chunk of triangles against one (tile_h x tile_w) pixel tile held in VMEM.
+as xla_raster.rasterize_vis but tiled: each grid step rasterizes one chunk of
+triangles against one (tile_h x tile_w) pixel tile held in VMEM.
 
 Kernel anatomy (per grid step (ty, tx, c)):
-* tri_data block [chunk, 16]: triangles on sublanes — cols 0-8 = edge
-  functions e0/e1/e2 as (ax, ay, const), 9-11 = screen-linear depth plane,
-  12 = global triangle id stored as f32 (exact below 2^24).
+* tri_data block [chunk, 16] lives in SMEM; per-triangle scalar coefficients
+  drive dense vector math (the classic scalar*vector VPU broadcast form —
+  sublane-vector -> plane broadcasts lower terribly in Mosaic, see history).
 * at c == 0 the tile's depth/id buffers initialize to (FAR, -1).
-* triangles are processed in static groups of `group`: each group broadcasts
-  its coefficient columns [group,1,1] against the tile's pixel planes
-  [tile_h, tile_w], producing [group, th, tw] edge/depth values — pure dense
-  VPU work with no transposes and no dynamic indexing (Mosaic-friendly).
-  Depth-test reduction: min over the group axis, id resolved by a tie-min
-  (equal-depth ties pick the smallest id, which equals first-submitted order
-  because per-tile ids are sorted ascending — matching xla_raster's argmin).
-* chunks beyond the tile's bin count are skipped with pl.when.
+* per triangle, only the [block_h, tile_w] row blocks its pixel bbox touches
+  are evaluated (cols 13/14 carry the bbox), via a dynamic inner fori +
+  dynamic-offset read-modify-write of the tile refs — typical triangles
+  touch 1-2 of the tile's row blocks, cutting VPU work ~2-4x.
+* depth test: strict less-than, first-processed wins ties; per-tile ids are
+  sorted ascending, matching xla_raster's argmin semantics.  (Boundary pixels
+  can still differ from the XLA path by one ULP of edge evaluation — TPU and
+  XLA schedule the FMAs differently; tests allow a small mismatch budget on
+  real hardware.)
 
 Runs in interpret mode off-TPU so the CPU test suite exercises it.
 """
@@ -36,14 +37,14 @@ from .binning import bin_triangles
 from .setup import TriSetup
 
 FAR = 3.4e38  # python float: jnp scalars would be captured tracers in the kernel
-BIG_ID = 3.0e38
 
 
-def _vis_kernel(counts_ref, data_ref, depth_ref, id_ref, *, tile_h, tile_w,
-                chunk, group):
+def _vis_kernel(starts_ref, data_ref, depth_ref, id_ref, *, tile_h, tile_w,
+                chunk, block_h, y_origin, n_pair_blocks):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     c = pl.program_id(2)
+    n_blocks = tile_h // block_h
 
     @pl.when(c == 0)
     def _():
@@ -51,43 +52,72 @@ def _vis_kernel(counts_ref, data_ref, depth_ref, id_ref, *, tile_h, tile_w,
         id_ref[:] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
 
     tile_idx = ty * pl.num_programs(1) + tx
-    count = counts_ref[tile_idx]
-    n_tris = count - c * chunk  # triangles remaining in this chunk
+    start = starts_ref[tile_idx]
+    end = starts_ref[tile_idx + 1]
+    # my block's absolute pair range (must mirror the in_spec index_map clamp)
+    blk = jnp.minimum(start // chunk + c, n_pair_blocks - 1)
+    blk_base = blk * chunk
+    lo = jnp.maximum(start - blk_base, 0)
+    hi = jnp.clip(end - blk_base, 0, chunk)
 
-    @pl.when(n_tris > 0)
+    @pl.when(hi > lo)
     def _():
         x0 = (tx * tile_w).astype(jnp.float32)
-        y0 = (ty * tile_h).astype(jnp.float32)
+        y0f = (ty * tile_h).astype(jnp.float32) + y_origin
         px = x0 + 0.5 + jax.lax.broadcasted_iota(
-            jnp.int32, (tile_h, tile_w), 1
+            jnp.int32, (block_h, tile_w), 1
         ).astype(jnp.float32)
-        py = y0 + 0.5 + jax.lax.broadcasted_iota(
-            jnp.int32, (tile_h, tile_w), 0
+        py_base = 0.5 + jax.lax.broadcasted_iota(
+            jnp.int32, (block_h, tile_w), 0
         ).astype(jnp.float32)
 
-        # Per-triangle scalar coefficients from SMEM drive dense [th, tw]
-        # vector math — the classic scalar*vector form the VPU broadcasts well.
-        def tri_body(t, carry):
-            bz, bid = carry
-            e0 = data_ref[0, 0, t, 0] * px + data_ref[0, 0, t, 1] * py + data_ref[0, 0, t, 2]
-            e1 = data_ref[0, 0, t, 3] * px + data_ref[0, 0, t, 4] * py + data_ref[0, 0, t, 5]
-            e2 = data_ref[0, 0, t, 6] * px + data_ref[0, 0, t, 7] * py + data_ref[0, 0, t, 8]
-            z = data_ref[0, 0, t, 9] * px + data_ref[0, 0, t, 10] * py + data_ref[0, 0, t, 11]
-            cov = (
-                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & ((e0 + e1 + e2) > 0.0)
-                & (z >= 0.0) & (z <= 1.0)
+        def tri_body(t, _):
+            ax0 = data_ref[0, t, 0]
+            ay0 = data_ref[0, t, 1]
+            ac0 = data_ref[0, t, 2]
+            ax1 = data_ref[0, t, 3]
+            ay1 = data_ref[0, t, 4]
+            ac1 = data_ref[0, t, 5]
+            ax2 = data_ref[0, t, 6]
+            ay2 = data_ref[0, t, 7]
+            ac2 = data_ref[0, t, 8]
+            zx = data_ref[0, t, 9]
+            zy = data_ref[0, t, 10]
+            zc = data_ref[0, t, 11]
+            idf = data_ref[0, t, 12]
+            by0 = data_ref[0, t, 13]
+            by1 = data_ref[0, t, 14]
+
+            rb0 = jnp.maximum(
+                jnp.floor((by0 - y0f) / block_h).astype(jnp.int32), 0
             )
-            take = cov & (z < bz)
-            bz = jnp.where(take, z, bz)
-            bid = jnp.where(take, data_ref[0, 0, t, 12], bid)
-            return bz, bid
+            rb1 = jnp.minimum(
+                jnp.floor((by1 - 1.0 - y0f) / block_h).astype(jnp.int32),
+                n_blocks - 1,
+            )
 
-        n = jnp.minimum(n_tris, chunk)
-        best_z, best_id = jax.lax.fori_loop(
-            0, n, tri_body, (depth_ref[:], id_ref[:])
-        )
-        depth_ref[:] = best_z
-        id_ref[:] = best_id
+            def rb_body(rb, _):
+                ybase = y0f + (rb * block_h).astype(jnp.float32)
+                py = py_base + ybase
+                e0 = ax0 * px + ay0 * py + ac0
+                e1 = ax1 * px + ay1 * py + ac1
+                e2 = ax2 * px + ay2 * py + ac2
+                z = zx * px + zy * py + zc
+                cov = (
+                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                    & ((e0 + e1 + e2) > 0.0) & (z >= 0.0) & (z <= 1.0)
+                )
+                sl = pl.ds(rb * block_h, block_h)
+                bz = depth_ref[sl, :]
+                take = cov & (z < bz)
+                depth_ref[sl, :] = jnp.where(take, z, bz)
+                id_ref[sl, :] = jnp.where(take, idf, id_ref[sl, :])
+                return 0
+
+            jax.lax.fori_loop(rb0, rb1 + 1, rb_body, 0)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, tri_body, 0)
 
 
 def rasterize_vis_tiled(
@@ -98,36 +128,49 @@ def rasterize_vis_tiled(
     tile_w=128,
     tile_capacity=4096,
     chunk=128,
-    group=32,
+    block_h=8,
     pair_capacity=None,
     interpret=None,
+    y_origin=0,
 ):
-    """Tiled rasterization. Returns (depth [H,W] — +inf empty, tri_id [H,W])."""
+    """Tiled rasterization of rows [y_origin, y_origin+height).
+    Returns (depth [H,W] — +inf empty, tri_id [H,W])."""
     if interpret is None:
         interpret = device.pallas_interpret()
     bins = bin_triangles(
-        setup, width, height, tile_h, tile_w, pair_capacity, tile_capacity, chunk
+        setup, width, height, tile_h, tile_w, pair_capacity, tile_capacity, chunk,
+        y_origin=y_origin,
     )
     ty, tx = bins.tiles_y, bins.tiles_x
     n_chunks = tile_capacity // chunk
+    n_pair_blocks = bins.pair_data.shape[0]
 
     kernel = functools.partial(
-        _vis_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk, group=group
+        _vis_kernel, tile_h=tile_h, tile_w=tile_w, chunk=chunk, block_h=block_h,
+        y_origin=float(y_origin), n_pair_blocks=n_pair_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ty, tx, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, chunk, 16),
-                lambda i, j, c, counts: (i * tx + j, c, 0, 0),
+                (1, chunk, 16),
+                # fetch my tile-segment's c-th pair block; the clamp keeps the
+                # index repeated (fetch skipped) once the segment is exhausted
+                lambda i, j, c, starts: (
+                    jnp.minimum(
+                        starts[i * tx + j] // chunk + c, n_pair_blocks - 1
+                    ),
+                    0,
+                    0,
+                ),
                 memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, c, counts: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, c, starts: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, c, counts: (i, j),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, c, starts: (i, j),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -139,7 +182,7 @@ def rasterize_vis_tiled(
             jax.ShapeDtypeStruct((ty * tile_h, tx * tile_w), jnp.float32),
         ],
         interpret=interpret,
-    )(bins.counts, bins.tri_data)
+    )(bins.starts, bins.pair_data)
     depth = jnp.where(depth >= FAR, jnp.inf, depth)
     tri = trif.astype(jnp.int32)
     return depth[:height, :width], tri[:height, :width]

@@ -22,8 +22,9 @@ BG_TRI = jnp.int32(-1)
 FAR_DEPTH = jnp.float32(jnp.inf)
 
 
-def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256):
-    """Brute-force depth-tested rasterization of all triangles.
+def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256, y_origin=0):
+    """Brute-force depth-tested rasterization of all triangles over rows
+    [y_origin, y_origin+height).
 
     Returns (depth [H,W] f32 — +inf where empty, tri_id [H,W] i32 — -1 empty).
     Depth test: less (GPU_REVERSE_DEPTH disabled in the reference).
@@ -44,7 +45,7 @@ def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256):
     n_chunks = n // tri_chunk
 
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
-    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5 + y_origin
     p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # [H,W,3]
 
     adj = setup.adj.reshape(n_chunks, tri_chunk, 3, 3)

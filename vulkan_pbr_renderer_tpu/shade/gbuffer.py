@@ -70,17 +70,21 @@ def gbuffer_pass(
     clip_from_world,
     old_clip_from_world,
     alpha_threshold=0.3,
+    row_offset=0,
 ):
     """Assemble the G-buffer.  All inputs are device arrays; fully jit-safe.
 
-    scene: assets.scene.Scene; depth/tri_id: [H,W] from the rasterizer.
+    scene: assets.scene.Scene; depth/tri_id: [H,W] from the rasterizer
+    (rows starting at global pixel row `row_offset` for the sharded path).
     """
     h, w = depth.shape
     covered = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
     px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
-    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    py = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset, (h, w)
+    )
 
     lam, dlam_dx, dlam_dy = _lambda_and_derivs(setup, tid, px, py)
 

@@ -97,6 +97,7 @@ def voxelize_scene(
     samples_per_voxel_area=4.0,
     total_samples=1 << 20,
     texture_lod=4.0,
+    sample_offset=0,
 ):
     """Build the [D,D,D,4] radiance grid from sun-lit surface samples.
 
@@ -125,10 +126,11 @@ def voxelize_scene(
     in_range = pid < total
 
     # low-discrepancy barycentric points (R2 sequence folded into the triangle)
+    phase = jnp.asarray(sample_offset, jnp.float32)
     r = jnp.stack(
         [
-            jnp.mod(local.astype(jnp.float32) * 0.7548776662466927 + 0.13, 1.0),
-            jnp.mod(local.astype(jnp.float32) * 0.5698402909980532 + 0.29, 1.0),
+            jnp.mod(local.astype(jnp.float32) * 0.7548776662466927 + 0.13 + phase * 0.371, 1.0),
+            jnp.mod(local.astype(jnp.float32) * 0.5698402909980532 + 0.29 + phase * 0.613, 1.0),
         ],
         -1,
     )

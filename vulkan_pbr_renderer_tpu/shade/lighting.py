@@ -52,12 +52,15 @@ class LightingResources(NamedTuple):
                                       # PREV_FRAME_RESULT in the lighting pass)
 
 
-def reconstruct_positions(depth, world_from_clip, view_from_clip):
+def reconstruct_positions(depth, world_from_clip, view_from_clip,
+                          row_offset=0, full_height=None):
     """depth [H,W] -> (p_world [H,W,3], p_view [H,W,3]) via inverse projection
-    (lighting_pass.glsl:444-451)."""
+    (lighting_pass.glsl:444-451).  For row-sharded frames, depth holds rows
+    [row_offset, row_offset+H) of a full_height-tall framebuffer."""
     h, w = depth.shape
+    fh = full_height or h
     u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
-    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset + 0.5) / fh
     ndc = jnp.stack(
         [
             jnp.broadcast_to(u * 2.0 - 1.0, (h, w)),
@@ -92,19 +95,31 @@ def lighting_pass(
     glob: Globals,
     res: LightingResources,
     cfg: RenderConfig,
+    row_offset=0,
+    full_height=None,
+    depth_full=None,
 ):
-    """Returns the HDR lighting result [H,W,3]."""
+    """Returns the HDR lighting result [H,W,3].
+
+    For the row-sharded multi-chip path, pass row_offset/full_height and a
+    gathered full-screen depth (depth_full) so the GI screen-space trace can
+    march outside the shard's rows."""
     h, w = g.depth.shape
+    fh = full_height or h
     base_color = g.base_color
     n = g.normal
     roughness = g.orm[..., 1]
     metallic = g.orm[..., 2]
     emissive = g.emissive * cfg.emissive_scale
 
-    p_world, p_view = reconstruct_positions(g.depth, glob.world_from_clip, glob.view_from_clip)
+    p_world, p_view = reconstruct_positions(
+        g.depth, glob.world_from_clip, glob.view_from_clip, row_offset, fh
+    )
 
     px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)) + 0.5
-    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)) + 0.5
+    py = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset, (h, w)
+    ) + 0.5
     f59 = glob.frame_idx_mod_59
     noise_1 = noiselib.frame_noise(px, py, f59)
     noise_2 = noiselib.frame_noise(px, py, f59, offset=(90.0, 20.0))
@@ -150,9 +165,10 @@ def lighting_pass(
 
     # --- GI (glsl:683-702) ------------------------------------------------
     if cfg.enable_gi:
+        trace_depth = depth_full if depth_full is not None else g.depth
         bent = bent_normal_cosine(n, noise_1, noise_3)
         ambient = gi.sample_radiance_with_screen_trace(
-            res.lightgrid, g.depth, res.prev_frame_atlas,
+            res.lightgrid, trace_depth, res.prev_frame_atlas,
             glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
             glob.world_from_view,
             v, jnp.concatenate([p_view, jnp.ones_like(p_view[..., :1])], -1),
@@ -160,7 +176,7 @@ def lighting_pass(
             cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, noise_3,
             cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
             max_ss_steps=cfg.gi_screen_trace_steps,
-            prev_base=(h // 2, w // 2), prev_levels=cfg.bloom_pass_count,
+            prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
         )
         ks = brdf.fresnel_schlick(v_dot_n, f0)
         kd = (1.0 - ks) * (1.0 - metallic[..., None])
@@ -175,7 +191,7 @@ def lighting_pass(
         r = r + (n - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
         spec_fog = roughness if cfg.gi_specular_foggyness_is_roughness else 0.9
         spec = gi.sample_radiance_with_screen_trace(
-            res.lightgrid, g.depth, res.prev_frame_atlas,
+            res.lightgrid, trace_depth, res.prev_frame_atlas,
             glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
             glob.world_from_view,
             v, jnp.concatenate([p_view, jnp.ones_like(p_view[..., :1])], -1),
@@ -183,7 +199,7 @@ def lighting_pass(
             cfg.gi_specular_steps, cfg.gi_specular_step_scale, noise_3,
             spec_fog, cfg.gi_specular_ss_intensity,
             max_ss_steps=cfg.gi_screen_trace_steps,
-            prev_base=(h // 2, w // 2), prev_levels=cfg.bloom_pass_count,
+            prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
         )
         outgoing = outgoing + spec * (f0 * fresnel_scale + fresnel_bias)
     elif cfg.enable_ibl:
