@@ -21,3 +21,11 @@ Layer map (mirrors SURVEY.md §1, reference file pointers in the docstrings):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry math (vertex transforms, matrix inverses) must run at true f32:
+# TPU "default" matmul precision decomposes f32 matmuls into bf16 passes,
+# which quantizes clip-space positions into garbage depth.  The renderer has
+# no large matmuls where bf16 would pay, so force full precision globally.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -44,12 +44,16 @@ def _grid_plane(center, size, normal_axis, sign, nx, ny, material, uv_scale=1.0)
     n = np.zeros(3, np.float32)
     n[normal_axis] = sign
     N = np.tile(n, ((nx + 1) * (ny + 1), 1))
+    # winding must account for the handedness of the (ua, va, normal) basis:
+    # (y,z,x) and (x,y,z) are cyclic (right-handed), (x,z,y) is not
+    rh = 1.0 if (ua, va) in (((normal_axis + 1) % 3, (normal_axis + 2) % 3),) else -1.0
+    face = sign * rh
     I = []
     for j in range(ny):
         for i in range(nx):
             a = j * (nx + 1) + i
             b = a + nx + 1
-            if sign > 0:
+            if face > 0:
                 I += [[a, a + 1, b + 1], [a, b + 1, b]]
             else:
                 I += [[a, b + 1, a + 1], [a, b, b + 1]]

@@ -51,6 +51,12 @@ class RenderConfig:
     gi_specular_ss_intensity: float = 0.9
     gi_screen_trace_steps: int = 24        # bounded replacement for while(true) @ glsl:315
     world_bounds: float = 99.0             # sky fallback bound (lighting_pass.glsl:708)
+    # TPU-native quality/perf knobs (no reference equivalent): the GI marches
+    # and shaft march are gather-bound (~13ns/elem on v5e); computing them at
+    # reduced resolution and bilinearly upsampling cuts the dominant cost by
+    # the square of the factor.  1 = reference-exact full resolution.
+    gi_res_divisor: int = 2
+    shaft_res_divisor: int = 4
 
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001

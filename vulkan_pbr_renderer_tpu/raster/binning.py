@@ -21,7 +21,8 @@ per-pair gathers:
    lo/hi masking of the partial edge chunks.
 
 Packed pair layout [P/chunk, chunk, 16] f32 (triangles on sublanes):
-cols 0-8 edge functions, 9-11 depth plane, 12 tri id (f32, exact < 2^24),
+cols 0-8 edge functions, 9-11 depth (vertex-interp (z0,dz1,dz2) when col 15
+=1, else screen-linear plane), 12 tri id (f32, exact < 2^24),
 13-14 pixel-space bbox y0/y1 for the kernel's row-block culling, 15 pad.
 """
 
@@ -54,11 +55,12 @@ def pack_tri_data(setup: TriSetup):
         jnp.array([0, 0, -1, 0, 0, 1, 0, 0, 1], jnp.float32), (n, 1)
     )
     e = jnp.where(setup.valid[:, None], e, dead)
-    z = setup.c_z
+    z = jnp.where(setup.z_mode[:, None], setup.z_vert, setup.c_z)
     pad = jnp.zeros((n, 4), jnp.float32)
     out = jnp.concatenate([e, z, pad], axis=1)
     out = out.at[:, 13].set(setup.bbox[:, 1].astype(jnp.float32))
     out = out.at[:, 14].set(setup.bbox[:, 3].astype(jnp.float32))
+    out = out.at[:, 15].set(setup.z_mode.astype(jnp.float32))
     return out
 
 

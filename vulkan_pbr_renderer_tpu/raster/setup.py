@@ -27,9 +27,14 @@ import jax.numpy as jnp
 class TriSetup(NamedTuple):
     """Per-triangle rasterization data (all [N, ...])."""
 
-    adj: jnp.ndarray      # [N,3,3] adjugate of homogeneous screen matrix (rows=edges... columns j = edge j coeffs)
+    adj: jnp.ndarray      # [N,3,3] adjugate of homogeneous screen matrix; columns j = edge j coeffs
     c_w: jnp.ndarray      # [N,3]   coefficients of 1/w-interp numerator (= adj @ ones)
-    c_z: jnp.ndarray      # [N,3]   coefficients of depth numerator      (= adj @ z_ndc*w? see below)
+    c_z: jnp.ndarray      # [N,3]   screen-linear depth plane (fallback for w<=0 tris)
+    z_vert: jnp.ndarray   # [N,3]   (z0_ndc, z1-z0, z2-z0): high-precision depth via
+                          #         z = z0 + (e1*dz1 + e2*dz2)/sum(e) — the plane form
+                          #         loses ~11 bits to coefficient cancellation, which at
+                          #         z_near=0.02/z_far=1e4 is tens of world units
+    z_mode: jnp.ndarray   # [N]     bool: True = use z_vert (all w healthy)
     det: jnp.ndarray      # [N]     signed 2x area (homogeneous)
     bbox: jnp.ndarray     # [N,4]   pixel bbox (x0, y0, x1, y1) inclusive-exclusive, clipped to screen
     valid: jnp.ndarray    # [N]     bool: rasterize this triangle
@@ -101,6 +106,13 @@ def setup_triangles(clip, width, height, cull="back", guard_band=8192.0):
     abs_det = flip * det
     c_z = jnp.einsum("nij,nj->ni", adj, z) / jnp.where(abs_det == 0, 1.0, abs_det)[..., None]
 
+    # High-precision depth: per-vertex z_ndc + deltas (see TriSetup docstring).
+    eps_w = 1e-6
+    safe_w = jnp.where(jnp.abs(w) < eps_w, eps_w, w)
+    zv = z / safe_w
+    z_vert = jnp.stack([zv[:, 0], zv[:, 1] - zv[:, 0], zv[:, 2] - zv[:, 0]], -1)
+    z_mode = jnp.all(w > eps_w, axis=-1)
+
     # Screen bbox.  Only meaningful when all w > 0; otherwise be conservative
     # (full screen) — such triangles are rare (cross the camera plane).
     eps = 1e-6
@@ -119,7 +131,8 @@ def setup_triangles(clip, width, height, cull="back", guard_band=8192.0):
     any_front = jnp.any(w > eps, axis=-1)
     nonempty = (bbox[..., 2] > bbox[..., 0]) & (bbox[..., 3] > bbox[..., 1])
     valid = valid & any_front & nonempty
-    return TriSetup(adj=adj, c_w=c_w, c_z=c_z, det=det, bbox=bbox, valid=valid)
+    return TriSetup(adj=adj, c_w=c_w, c_z=c_z, z_vert=z_vert, z_mode=z_mode,
+                    det=det, bbox=bbox, valid=valid)
 
 
 def transform_to_clip(positions, mat, jitter=None):

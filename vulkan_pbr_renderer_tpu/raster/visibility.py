@@ -87,6 +87,7 @@ def _vis_kernel(starts_ref, data_ref, depth_ref, id_ref, *, tile_h, tile_w,
             idf = data_ref[0, t, 12]
             by0 = data_ref[0, t, 13]
             by1 = data_ref[0, t, 14]
+            zvmode = data_ref[0, t, 15]
 
             rb0 = jnp.maximum(
                 jnp.floor((by0 - y0f) / block_h).astype(jnp.int32), 0
@@ -102,10 +103,15 @@ def _vis_kernel(starts_ref, data_ref, depth_ref, id_ref, *, tile_h, tile_w,
                 e0 = ax0 * px + ay0 * py + ac0
                 e1 = ax1 * px + ay1 * py + ac1
                 e2 = ax2 * px + ay2 * py + ac2
-                z = zx * px + zy * py + zc
+                esum = e0 + e1 + e2
+                # depth: vertex-interp (cols = z0,dz1,dz2) when zvmode, else
+                # the screen-linear plane (near-plane-crossing tris)
+                z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
+                z_pl = zx * px + zy * py + zc
+                z = jnp.where(zvmode > 0.5, z_hp, z_pl)
                 cov = (
                     (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                    & ((e0 + e1 + e2) > 0.0) & (z >= 0.0) & (z <= 1.0)
+                    & (esum > 0.0) & (z >= 0.0) & (z <= 1.0)
                 )
                 sl = pl.ds(rb * block_h, block_h)
                 bz = depth_ref[sl, :]

@@ -37,6 +37,8 @@ def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256, y_origin=0):
             adj=padz(setup.adj),
             c_w=padz(setup.c_w),
             c_z=padz(setup.c_z),
+            z_vert=padz(setup.z_vert),
+            z_mode=jnp.concatenate([setup.z_mode, jnp.zeros((pad,), bool)], 0),
             det=padz(setup.det),
             bbox=padz(setup.bbox),
             valid=jnp.concatenate([setup.valid, jnp.zeros((pad,), bool)], 0),
@@ -50,15 +52,22 @@ def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256, y_origin=0):
 
     adj = setup.adj.reshape(n_chunks, tri_chunk, 3, 3)
     c_z = setup.c_z.reshape(n_chunks, tri_chunk, 3)
+    z_vert = setup.z_vert.reshape(n_chunks, tri_chunk, 3)
+    z_mode = setup.z_mode.reshape(n_chunks, tri_chunk)
     valid = setup.valid.reshape(n_chunks, tri_chunk)
 
     def body(carry, chunk):
         best_z, best_id = carry
-        adj_c, cz_c, valid_c, base_id = chunk
+        adj_c, cz_c, zv_c, zm_c, valid_c, base_id = chunk
         # e [T,H,W,3]: edge values for every tri at every pixel
         e = jnp.einsum("tij,hwi->thwj", adj_c, p)
         w_num = jnp.sum(e, axis=-1)                       # [T,H,W]
-        z = jnp.einsum("ti,hwi->thw", cz_c, p)            # screen-linear z_ndc
+        z_plane = jnp.einsum("ti,hwi->thw", cz_c, p)      # screen-linear z_ndc
+        # high-precision: z0 + (e1*dz1 + e2*dz2)/sum(e)
+        z_hp = zv_c[:, 0, None, None] + (
+            e[..., 1] * zv_c[:, 1, None, None] + e[..., 2] * zv_c[:, 2, None, None]
+        ) / jnp.where(w_num == 0, 1e-20, w_num)
+        z = jnp.where(zm_c[:, None, None], z_hp, z_plane)
         covered = jnp.all(e >= 0.0, axis=-1) & (w_num > 0.0) & valid_c[:, None, None]
         z = jnp.where(covered & (z >= 0.0) & (z <= 1.0), z, FAR_DEPTH)
         # nearest among this chunk
@@ -72,5 +81,7 @@ def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256, y_origin=0):
         jnp.full((height, width), BG_TRI, jnp.int32),
     )
     base_ids = jnp.arange(n_chunks, dtype=jnp.int32) * tri_chunk
-    (depth, tri_id), _ = jax.lax.scan(body, init, (adj, c_z, valid, base_ids))
+    (depth, tri_id), _ = jax.lax.scan(
+        body, init, (adj, c_z, z_vert, z_mode, valid, base_ids)
+    )
     return depth, tri_id

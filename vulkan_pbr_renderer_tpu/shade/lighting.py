@@ -90,6 +90,19 @@ def bent_normal_cosine(n, noise_1, noise_3):
     )
 
 
+
+def _down(x, k):
+    """Subsample [H,W,...] by k (top-left of each k x k block)."""
+    return x if k == 1 else x[::k, ::k]
+
+
+def _up(x, h, w):
+    """Bilinear upsample [h/k,w/k,...] back to [h,w,...]."""
+    if x.shape[0] == h and x.shape[1] == w:
+        return x
+    return jax.image.resize(x, (h, w) + x.shape[2:], method="linear")
+
+
 def lighting_pass(
     g,                      # GBuffer
     glob: Globals,
@@ -150,11 +163,14 @@ def lighting_pass(
 
     # --- volumetric light shafts (glsl:620-651) ---------------------------
     if cfg.enable_light_shafts and cfg.enable_shadows:
-        outgoing = outgoing + shadow.light_shafts(
-            res.sun_depth, glob.sun_from_world, glob.camera_pos, p_world, n,
-            noise_1, sun_emission, cfg.light_shaft_intensity,
+        ks_ = cfg.shaft_res_divisor
+        shafts = shadow.light_shafts(
+            res.sun_depth, glob.sun_from_world, glob.camera_pos,
+            _down(p_world, ks_), _down(n, ks_), _down(noise_1, ks_),
+            sun_emission, cfg.light_shaft_intensity,
             cfg.shadow_normal_offset, max_steps=cfg.light_shaft_steps * 3,
         )
+        outgoing = outgoing + _up(shafts, h, w)
 
     # --- split-sum weights (glsl:681) -------------------------------------
     f0 = brdf.f0_from_metallic(base_color, metallic, cfg.f0_dielectric)
@@ -165,43 +181,48 @@ def lighting_pass(
 
     # --- GI (glsl:683-702) ------------------------------------------------
     if cfg.enable_gi:
+        kg = cfg.gi_res_divisor
         trace_depth = depth_full if depth_full is not None else g.depth
-        bent = bent_normal_cosine(n, noise_1, noise_3)
+        nd, vd = _down(n, kg), _down(v, kg)
+        n1d, n2d, n3d = _down(noise_1, kg), _down(noise_2, kg), _down(noise_3, kg)
+        pwd, pvd = _down(p_world, kg), _down(p_view, kg)
+        roughd = _down(roughness, kg)
+        bent = bent_normal_cosine(nd, n1d, n3d)
         ambient = gi.sample_radiance_with_screen_trace(
             res.lightgrid, trace_depth, res.prev_frame_atlas,
             glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
             glob.world_from_view,
-            v, jnp.concatenate([p_view, jnp.ones_like(p_view[..., :1])], -1),
-            p_world, bent, cfg.lightgrid_scale,
-            cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, noise_3,
+            vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
+            pwd, bent, cfg.lightgrid_scale,
+            cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, n3d,
             cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
             max_ss_steps=cfg.gi_screen_trace_steps,
             prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
         )
         ks = brdf.fresnel_schlick(v_dot_n, f0)
         kd = (1.0 - ks) * (1.0 - metallic[..., None])
-        outgoing = outgoing + kd * ambient * base_color
+        outgoing = outgoing + kd * _up(ambient, h, w) * base_color
 
-        r = m3.reflect(-v, n)
+        r = m3.reflect(-vd, nd)
         r = m3.normalize(
-            r + 0.6 * roughness[..., None]
-            * (jnp.stack([noise_1, noise_2, noise_3], -1) - 0.5)
+            r + 0.6 * roughd[..., None]
+            * (jnp.stack([n1d, n2d, n3d], -1) - 0.5)
         )
-        r2 = roughness * roughness
-        r = r + (n - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
-        spec_fog = roughness if cfg.gi_specular_foggyness_is_roughness else 0.9
+        r2 = roughd * roughd
+        r = r + (nd - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
+        spec_fog = roughd if cfg.gi_specular_foggyness_is_roughness else 0.9
         spec = gi.sample_radiance_with_screen_trace(
             res.lightgrid, trace_depth, res.prev_frame_atlas,
             glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
             glob.world_from_view,
-            v, jnp.concatenate([p_view, jnp.ones_like(p_view[..., :1])], -1),
-            p_world, r, cfg.lightgrid_scale,
-            cfg.gi_specular_steps, cfg.gi_specular_step_scale, noise_3,
+            vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
+            pwd, r, cfg.lightgrid_scale,
+            cfg.gi_specular_steps, cfg.gi_specular_step_scale, n3d,
             spec_fog, cfg.gi_specular_ss_intensity,
             max_ss_steps=cfg.gi_screen_trace_steps,
             prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
         )
-        outgoing = outgoing + spec * (f0 * fresnel_scale + fresnel_bias)
+        outgoing = outgoing + _up(spec, h, w) * (f0 * fresnel_scale + fresnel_bias)
     elif cfg.enable_ibl:
         # static split-sum IBL path (the pre-GI pipeline, geometry_pass.glsl:322-346
         # commented reference) — used by the Cerberus config
