@@ -47,14 +47,13 @@ def build_scene_by_name(name, detail=1.0, texture_size=256):
         mats.append(MaterialDesc(base_color_factor=(0.5, 0.5, 0.5, 1.0)))
         return build_scene(parts, mats, texture_size=64)
     if name == "cerberus":
-        from ..assets import gltf, tga
+        from ..assets import gltf
 
         parts, mats = gltf.load_glb("/root/reference/resources/Cerberus.glb")
-        try:
-            albedo = tga.read_tga("/root/reference/resources/MetalRoughSpheres_Albedo.tga")
-            mats[0].base_color = albedo
-        except Exception:
-            pass
+        # the Cerberus texture set is stripped from the mount; give the gun a
+        # plausible gunmetal material so the IBL response is visible
+        mats[0].base_color_factor = (0.35, 0.33, 0.32, 1.0)
+        mats[0].orm_factor = (1.0, 0.45, 1.0)
         return build_scene(parts, mats, texture_size=texture_size)
     if name == "suntemple":
         parts = suntemple.build_parts(detail=detail)

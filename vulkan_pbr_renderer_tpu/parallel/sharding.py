@@ -54,10 +54,12 @@ def make_mesh(n_devices=None, dp=1):
     return Mesh(arr, ("dp", "sp"))
 
 
-def _rasterize_rows(scene, mat, width, rows, y_origin, cull, backend, cfg):
+def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull, backend, cfg):
     clip = rsetup.transform_to_clip(scene.positions, mat)
     tri_clip = clip[scene.indices]
-    s = rsetup.setup_triangles(tri_clip, width, y_origin + rows, cull=cull)
+    # NOTE: setup maps NDC to pixels with the FULL viewport height; the shard
+    # then rasterizes only its [y_origin, y_origin+rows) slice
+    s = rsetup.setup_triangles(tri_clip, width, full_height, cull=cull)
     if backend == "pallas":
         d, t = visibility.rasterize_vis_tiled(
             s, width, rows, tile_capacity=cfg.max_meshlets_per_tile * 16,
@@ -75,6 +77,9 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
          prefiltered_env, brdf_lut) -> final images [dp, H, W, 3].
     """
     sp = mesh.shape["sp"]
+    # reduced-res GI/shaft upsampling would clamp at shard edges and seam;
+    # with the work already spread over chips, run those passes at full res
+    cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1)
     h, w = cfg.height, cfg.width
     assert h % (sp * 32) == 0, "height must be divisible by sp*tile_h"
     rows = h // sp
@@ -93,7 +98,7 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
         sm = cfg.shadow_map_size
         sm_rows = sm // sp
         _, sd_rows, _ = _rasterize_rows(
-            scene, sun_from_world, sm, sm_rows, sp_idx * sm_rows, "none",
+            scene, sun_from_world, sm, sm, sm_rows, sp_idx * sm_rows, "none",
             raster_backend, cfg,
         )
         sd_rows = jnp.where(jnp.isinf(sd_rows), 1.0, sd_rows)
@@ -117,7 +122,7 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
 
         # 4. raster + gbuffer + lighting for my rows
         s, depth, tri = _rasterize_rows(
-            scene, cfw, w, rows, y0, "back", raster_backend, cfg
+            scene, cfw, w, h, rows, y0, "back", raster_backend, cfg
         )
         gbuf = gb.gbuffer_pass(
             scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri, cfw, cfw,

@@ -115,9 +115,11 @@ def bin_triangles(
     tile_bits = max(1, int(n_tiles).bit_length())
     tri_bits = max(1, (n - 1).bit_length())
     span_bits = 6  # ntx <= 63 tiles across — plenty for 8k-wide screens
-    assert tri_bits + span_bits < 31 and tri_bits + tile_bits < 31, (
-        "triangle count too large for packed binning keys"
-    )
+    # packed keys must stay positive int32: worst key is (sentinel n_tiles,
+    # tri 2^tri_bits-1) for the sort, (tri n-1, ntx/base) for the fills
+    assert ((n_tiles + 1) << tri_bits) <= (1 << 31) and (
+        n << max(span_bits, tile_bits)
+    ) <= (1 << 31), "triangle count too large for packed binning keys"
 
     # three monotone forward-fills: tri id / run start / (tri | ntx) + (tri | base)
     tri_of = jnp.clip(_fill(scatter_idx, tri_ids32, pair_capacity), 0, n - 1)
