@@ -20,6 +20,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 UPDATE = os.environ.get("UPDATE_GOLDENS") == "1"
 
 TINY = RenderConfig(
+    gi_mode="reference",  # goldens pin the full reference-parity GI march
     width=160, height=96, shadow_map_size=128, lightgrid_size=16,
     lightgrid_extent=10.0, prefiltered_env_size=16, prefiltered_env_min_size=8,
     prefilter_samples=256, brdf_lut_size=16, brdf_lut_samples=256,

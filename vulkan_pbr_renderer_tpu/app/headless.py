@@ -27,6 +27,16 @@ from ..utils import image as imglib
 def build_scene_by_name(name, detail=1.0, texture_size=256):
     from ..assets import MaterialDesc, build_scene, procedural, suntemple
 
+    if name == "triangle":
+        # triangle.cpp parity: one RGB triangle; rendered unlit via emissive
+        import numpy as _np
+
+        part = procedural.make_plane((0, 2.0, 1.0), (2, 2), 1, 0)
+        part.normals *= -1
+        part.indices = part.indices[:, ::-1].copy()
+        mats = [MaterialDesc(emissive_factor=(0.1, 0.3, 0.8),
+                             base_color_factor=(0, 0, 0, 1))]
+        return build_scene([part], mats, texture_size=16)
     if name == "cube":
         mats = [MaterialDesc(base_color=procedural.checker_texture(128, 8),
                              orm_factor=(1.0, 0.6, 0.0))]
@@ -88,6 +98,7 @@ def main(argv=None):
     ap.add_argument("--bench", action="store_true")
     ap.add_argument("--sun", type=float, nargs=2, default=(35.0, 80.0))
     ap.add_argument("--no-gi", action="store_true")
+    ap.add_argument("--visualize-lightgrid", action="store_true")
     ap.add_argument("--raster", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--texture-size", type=int, default=256)
     args = ap.parse_args(argv)
@@ -97,6 +108,8 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height)
     if args.no_gi:
         cfg = cfg.replace(enable_gi=False)
+    if args.visualize_lightgrid:
+        cfg = cfg.replace(visualize_lightgrid=True)
     scene = build_scene_by_name(args.scene, args.detail, args.texture_size)
     print(f"scene {args.scene}: {scene.num_tris} tris")
     r = Renderer(cfg, scene, raster_backend=args.raster)

@@ -215,6 +215,7 @@ def render_frame(
         taa_out = taa.taa_resolve(
             hdr, gbuf.depth, gbuf.velocity, state.velocity_prev, history,
             cfg.taa_blend, cfg.taa_velocity_rejection,
+            catmull_history=cfg.taa_catmull_history,
         )
     else:
         taa_out = hdr

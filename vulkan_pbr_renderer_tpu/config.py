@@ -57,6 +57,9 @@ class RenderConfig:
     # the square of the factor.  1 = reference-exact full resolution.
     gi_res_divisor: int = 2
     shaft_res_divisor: int = 4
+    # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
+    # 'fast': irradiance-cache sampling of the swept grid (~20x fewer gathers)
+    gi_mode: str = "fast"
 
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001
@@ -67,6 +70,8 @@ class RenderConfig:
     bloom_strength: float = 0.06           # bloom_upsample.glsl:37
     bloom_upsample_radius: float = 1.5     # bloom_upsample.glsl:26
     taa_blend: float = 0.05                # taa_resolve.glsl:246
+    taa_catmull_history: bool = True       # 9-tap Catmull-Rom (taa_resolve.glsl:125);
+                                           # False = single bilinear (4 vs 36 gathers)
     taa_velocity_rejection: float = 1000.0  # taa_resolve.glsl:263
     exposure: float = 2.0                  # final_post_process.glsl:32
     emissive_scale: float = 10.0           # lighting_pass.glsl:440

@@ -188,17 +188,22 @@ def lighting_pass(
         pwd, pvd = _down(p_world, kg), _down(p_view, kg)
         roughd = _down(roughness, kg)
         bent = bent_normal_cosine(nd, n1d, n3d)
-        ambient = gi.sample_radiance_with_screen_trace(
-            res.lightgrid, trace_depth, res.prev_frame_atlas,
-            glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
-            glob.world_from_view,
-            vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
-            pwd, bent, cfg.lightgrid_scale,
-            cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, n3d,
-            cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
-            max_ss_steps=cfg.gi_screen_trace_steps,
-            prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
-        )
+        if cfg.gi_mode == "fast":
+            ambient = gi.sample_radiance_fast(
+                res.lightgrid, pwd, bent, cfg.lightgrid_scale
+            )
+        else:
+            ambient = gi.sample_radiance_with_screen_trace(
+                res.lightgrid, trace_depth, res.prev_frame_atlas,
+                glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
+                glob.world_from_view,
+                vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
+                pwd, bent, cfg.lightgrid_scale,
+                cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, n3d,
+                cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
+                max_ss_steps=cfg.gi_screen_trace_steps,
+                prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
+            )
         ks = brdf.fresnel_schlick(v_dot_n, f0)
         kd = (1.0 - ks) * (1.0 - metallic[..., None])
         outgoing = outgoing + kd * _up(ambient, h, w) * base_color
@@ -211,17 +216,22 @@ def lighting_pass(
         r2 = roughd * roughd
         r = r + (nd - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
         spec_fog = roughd if cfg.gi_specular_foggyness_is_roughness else 0.9
-        spec = gi.sample_radiance_with_screen_trace(
-            res.lightgrid, trace_depth, res.prev_frame_atlas,
-            glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
-            glob.world_from_view,
-            vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
-            pwd, r, cfg.lightgrid_scale,
-            cfg.gi_specular_steps, cfg.gi_specular_step_scale, n3d,
-            spec_fog, cfg.gi_specular_ss_intensity,
-            max_ss_steps=cfg.gi_screen_trace_steps,
-            prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
-        )
+        if cfg.gi_mode == "fast":
+            spec = gi.sample_radiance_fast(
+                res.lightgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0
+            )
+        else:
+            spec = gi.sample_radiance_with_screen_trace(
+                res.lightgrid, trace_depth, res.prev_frame_atlas,
+                glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
+                glob.world_from_view,
+                vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
+                pwd, r, cfg.lightgrid_scale,
+                cfg.gi_specular_steps, cfg.gi_specular_step_scale, n3d,
+                spec_fog, cfg.gi_specular_ss_intensity,
+                max_ss_steps=cfg.gi_screen_trace_steps,
+                prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
+            )
         outgoing = outgoing + _up(spec, h, w) * (f0 * fresnel_scale + fresnel_bias)
     elif cfg.enable_ibl:
         # static split-sum IBL path (the pre-GI pipeline, geometry_pass.glsl:322-346

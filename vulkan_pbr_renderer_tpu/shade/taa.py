@@ -48,6 +48,7 @@ def taa_resolve(
     blend=0.05,
     velocity_rejection=1000.0,
     gamma=1.0,
+    catmull_history=True,
 ):
     """Returns the new TAA output [H,W,3]."""
     h, w = depth.shape
@@ -76,7 +77,10 @@ def taa_resolve(
     reproj_uv = uv - vel * 0.5
 
     prev_vel = sampling.sample_bilinear(velocity_prev, reproj_uv)
-    prev_color = sampling.sample_catmull_rom(history, reproj_uv)
+    if catmull_history:
+        prev_color = sampling.sample_catmull_rom(history, reproj_uv)
+    else:
+        prev_color = sampling.sample_bilinear(history, reproj_uv)
     prev_color = jnp.clip(prev_color, minc, maxc)
 
     weight_b = blend + velocity_rejection * jnp.linalg.norm(prev_vel - vel, axis=-1)
