@@ -29,8 +29,6 @@ def build_scene_by_name(name, detail=1.0, texture_size=256):
 
     if name == "triangle":
         # triangle.cpp parity: one RGB triangle; rendered unlit via emissive
-        import numpy as _np
-
         part = procedural.make_plane((0, 2.0, 1.0), (2, 2), 1, 0)
         part.normals *= -1
         part.indices = part.indices[:, ::-1].copy()

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .scene import MaterialDesc, MeshPart
+from .scene import MeshPart
 
 
 def make_cube(center=(0, 0, 0), size=(1, 1, 1), material=0):

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .procedural import checker_texture
 from .scene import MaterialDesc, MeshPart
 
 # material indices

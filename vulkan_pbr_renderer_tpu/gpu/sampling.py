@@ -23,8 +23,6 @@ implementations; hot paths get fused into Pallas kernels in ops/.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -27,23 +27,18 @@ replicated.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..raster import setup as rsetup
 from ..raster import visibility, xla_raster
 from ..shade import bloom as bloom_mod
 from ..shade import gbuffer as gb
-from ..shade import gi, lighting, shadow, taa
+from ..shade import gi, lighting, shadow
 from ..utils import color as colorlib
-from ..utils import noise as noiselib
-from ..gpu import sampling
 
 
 def make_mesh(n_devices=None, dp=1):

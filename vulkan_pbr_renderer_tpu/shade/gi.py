@@ -22,8 +22,6 @@ TPU-native re-design of the reference's three GI stages:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
