@@ -4,8 +4,8 @@ The TPU equivalent of the reference's RenderObject (render.h:104-120, built by
 LoadMesh, asset_import.cpp:79-178): one merged vertex/index buffer grouped by
 material, with per-material base-color/normal/ORM/emissive textures and dummy
 fallbacks (white / flat-normal / black, asset_import.cpp:194-197).  Instead of
-per-part descriptor sets, materials become **layers of four mip-atlas texture
-arrays** and each triangle carries a material id — so the whole scene renders
+per-part descriptor sets, materials become one packed mip-atlas texture array
+and each triangle carries a material id — so the whole scene renders
 in one pass with no per-material dispatch (a draw loop would defeat XLA).
 """
 
@@ -53,11 +53,12 @@ class Scene(NamedTuple):
     uvs: jnp.ndarray              # [V,2] f32
     indices: jnp.ndarray          # [T,3] i32
     mat_id: jnp.ndarray           # [T] i32
-    # material texture arrays: [M, TS, Wa, C] mip atlases (square pow2)
-    tex_base_color: jnp.ndarray   # [M,TS,Wa,4]
-    tex_normal: jnp.ndarray       # [M,TS,Wa,2]  (xy of tangent-space normal)
-    tex_orm: jnp.ndarray          # [M,TS,Wa,3]
-    tex_emissive: jnp.ndarray     # [M,TS,Wa,3]
+    # ONE packed material mip-atlas array [M, TS, Wa, 12]: channels
+    # 0-3 base_color rgba, 4-5 normal xy, 6-8 orm, 9-11 emissive.  Packing all
+    # maps into one texture means a single gather row fetches every material
+    # channel (TPU gathers cost per ROW, ~13ns — 4 separate atlases would
+    # quadruple the G-buffer pass's dominant cost).
+    tex_packed: jnp.ndarray       # [M,TS,Wa,12]
     alpha_test: jnp.ndarray       # [M] bool
 
     @property
@@ -141,9 +142,13 @@ def build_scene(
         em.append(_prep_tex(m.emissive, (1, 1, 1), ts, 3, m.emissive_factor))
         at.append(m.alpha_test)
 
-    def atlas(stack):
-        arr = jnp.asarray(np.stack(stack), dtype)
-        return jnp.stack([sampling.build_mip_atlas(arr[i]) for i in range(arr.shape[0])])
+    packed = np.concatenate(
+        [np.stack(bc), np.stack(nm), np.stack(orm), np.stack(em)], axis=-1
+    )
+    arr = jnp.asarray(packed, dtype)
+    tex_packed = jnp.stack(
+        [sampling.build_mip_atlas(arr[i]) for i in range(arr.shape[0])]
+    )
 
     return Scene(
         positions=jnp.asarray(pos),
@@ -151,9 +156,6 @@ def build_scene(
         uvs=jnp.asarray(uv),
         indices=jnp.asarray(idx),
         mat_id=jnp.asarray(mat),
-        tex_base_color=atlas(bc),
-        tex_normal=atlas(nm),
-        tex_orm=atlas(orm),
-        tex_emissive=atlas(em),
+        tex_packed=tex_packed,
         alpha_test=jnp.asarray(np.asarray(at, bool)),
     )

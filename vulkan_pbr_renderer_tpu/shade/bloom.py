@@ -27,7 +27,38 @@ def _shift_edge(img, dy, dx):
     return p[ay + dy : ay + dy + h, ax + dx : ax + dx + w]
 
 
+def _box2(img):
+    """Exact 2x2 box mean (even dims) — what bilinear-at-half-res reduces to."""
+    h, w, c = img.shape
+    return img.reshape(h // 2, 2, w // 2, 2, c).mean((1, 3))
+
+
+def _up2(img):
+    """Exact 2x bilinear upsample with half-pixel centers (edge clamped).
+
+    dst(2i+p, 2j+q) = bilinear at src (i + (2p-1)/4): per axis the two phases
+    mix the texel with its left/right neighbor at weights (0.75, 0.25).
+    """
+    def axis_up(x):  # upsample leading axis
+        lo = jnp.concatenate([x[:1], x[:-1]], 0)       # shift +1 (edge)
+        hi = jnp.concatenate([x[1:], x[-1:]], 0)       # shift -1 (edge)
+        ph0 = 0.75 * x + 0.25 * lo
+        ph1 = 0.75 * x + 0.25 * hi
+        return jnp.stack([ph0, ph1], 1).reshape((-1,) + x.shape[1:])
+
+    return jnp.swapaxes(axis_up(jnp.swapaxes(axis_up(img), 0, 1)), 0, 1)
+
+
 def _resize(img, h, w):
+    """Bilinear resize; exact dense paths for the 2:1 cases (jax.image.resize
+    lowers to gathers on TPU — measured ~400 ms of a 1080p bloom chain)."""
+    sh, sw = img.shape[:2]
+    if (sh, sw) == (h, w):
+        return img
+    if sh == 2 * h and sw == 2 * w:
+        return _box2(img)
+    if h == 2 * sh and w == 2 * sw:
+        return _up2(img)
     return jax.image.resize(img, (h, w) + img.shape[2:], method="linear")
 
 

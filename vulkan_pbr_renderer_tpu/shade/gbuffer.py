@@ -105,17 +105,18 @@ def gbuffer_pass(
     dpos_dy = _interp(pos_tri, dlam_dy)
 
     # mip level from uv footprint in texels (standard GL lod rule)
-    ts = scene.tex_base_color.shape[1]
+    ts = scene.tex_packed.shape[1]
     du = jnp.maximum(
         jnp.sum((duv_dx * ts) ** 2, -1), jnp.sum((duv_dy * ts) ** 2, -1)
     )
     lod = 0.5 * jnp.log2(jnp.maximum(du, 1e-12))
     lod = jnp.clip(lod, 0.0, 16.0)
 
-    base_color = sampling.sample_mip_atlas_array(scene.tex_base_color, mat, uv, lod)
-    nrm_xy = sampling.sample_mip_atlas_array(scene.tex_normal, mat, uv, lod)
-    orm = sampling.sample_mip_atlas_array(scene.tex_orm, mat, uv, lod)
-    emissive = sampling.sample_mip_atlas_array(scene.tex_emissive, mat, uv, lod)
+    texel = sampling.sample_mip_atlas_array(scene.tex_packed, mat, uv, lod)
+    base_color = texel[..., 0:4]
+    nrm_xy = texel[..., 4:6]
+    orm = texel[..., 6:9]
+    emissive = texel[..., 9:12]
 
     # alpha test (geometry_pass.glsl:259): discard -> background
     do_test = scene.alpha_test[mat]

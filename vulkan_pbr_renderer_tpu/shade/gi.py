@@ -144,8 +144,9 @@ def voxelize_scene(
     mat = scene.mat_id[tri_of]
 
     lod = jnp.full(pid.shape, texture_lod, jnp.float32)
-    base_color = sampling.sample_mip_atlas_array(scene.tex_base_color, mat, uv, lod)[..., :3]
-    emissive = sampling.sample_mip_atlas_array(scene.tex_emissive, mat, uv, lod)
+    texel = sampling.sample_mip_atlas_array(scene.tex_packed, mat, uv, lod)
+    base_color = texel[..., 0:3]
+    emissive = texel[..., 9:12]
 
     # 1-tap shadow with (+1,+1) texel offset and z bias (voxelize glsl:104-110)
     p_sun = m3.transform_points(sun_space_from_world, pos)[..., :3]

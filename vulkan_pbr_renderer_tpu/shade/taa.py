@@ -65,11 +65,18 @@ def taa_resolve(
     minc = m1 - gamma * sigma
     maxc = m1 + gamma * sigma
 
-    # closest-depth velocity dilation
-    depths = jnp.stack([_shift_edge(depth, dy, dx) for (dy, dx) in offsets])
-    vels = jnp.stack([_shift_edge(velocity, dy, dx) for (dy, dx) in offsets])
-    nearest = jnp.argmin(depths, axis=0)
-    vel = jnp.take_along_axis(vels, nearest[None, ..., None], axis=0)[0]
+    # closest-depth velocity dilation — dense select tournament (argmin +
+    # take_along_axis lower to gathers on TPU)
+    best_d = depth
+    vel = velocity
+    for (dy, dx) in offsets:
+        if dy == 0 and dx == 0:
+            continue
+        d_n = _shift_edge(depth, dy, dx)
+        v_n = _shift_edge(velocity, dy, dx)
+        take = d_n < best_d
+        best_d = jnp.where(take, d_n, best_d)
+        vel = jnp.where(take[..., None], v_n, vel)
 
     u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
     v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
