@@ -1,0 +1,62 @@
+"""Quad-packed samplers must match their scalar-gather references."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vulkan_pbr_renderer_tpu.gpu import sampling as S
+from vulkan_pbr_renderer_tpu.shade.shadow import PCF_OFFSETS
+
+
+def test_quad_pack_layout():
+    tex = jnp.arange(4 * 6 * 2, dtype=jnp.float32).reshape(4, 6, 2)
+    q = S.quad_pack(tex)
+    assert q.shape == (2, 3, 8)
+    # block (0,0): texels (0,0),(0,1),(1,0),(1,1)
+    np.testing.assert_array_equal(np.asarray(q[0, 0]).reshape(4, 2),
+                                  np.asarray(tex[:2, :2].reshape(4, 2)))
+
+
+def test_catmull_quad_matches_reference_interior():
+    rng = np.random.default_rng(0)
+    tex = jnp.asarray(rng.random((32, 48, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (500, 2)).astype(np.float32))
+    ref = np.asarray(S.sample_catmull_rom(tex, uv))
+    got = np.asarray(S.sample_catmull_rom_quad(S.quad_pack(tex), 32, 48, uv))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_catmull_quad_reproduces_linear_ramp():
+    y, x = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    tex = jnp.asarray(np.stack([x, y, x + y], -1).astype(np.float32))
+    rng = np.random.default_rng(1)
+    uv = jnp.asarray(rng.uniform(0.2, 0.8, (100, 2)).astype(np.float32))
+    got = np.asarray(S.sample_catmull_rom_quad(S.quad_pack(tex), 32, 32, uv))
+    np.testing.assert_allclose(got[:, 0], np.asarray(uv)[:, 0] * 32 - 0.5, atol=1e-3)
+
+
+def test_pcf_quad_matches_scalar_taps():
+    rng = np.random.default_rng(2)
+    depth = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (400, 2)).astype(np.float32))
+    ref_z = jnp.asarray(rng.random(400).astype(np.float32))
+    s = 64
+    expect = 0.0
+    for (ox, oy) in PCF_OFFSETS:
+        expect = expect + S.sample_depth_compare(
+            depth, uv + jnp.array([ox / s, oy / s]), ref_z
+        )
+    expect = np.asarray(expect) * 0.25
+    got = np.asarray(
+        S.sample_pcf4_quad(S.quad_pack(depth[..., None]), s, uv, ref_z, PCF_OFFSETS)
+    )
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_pcf_quad_edges_sane():
+    depth = jnp.full((32, 32), 0.5)
+    uv = jnp.asarray(np.array([[0.01, 0.01], [0.99, 0.99], [0.5, 0.01]], np.float32))
+    got = np.asarray(
+        S.sample_pcf4_quad(S.quad_pack(depth[..., None]), 32, uv,
+                           jnp.array([0.4, 0.6, 0.4]), PCF_OFFSETS)
+    )
+    assert got[0] == 1.0 and got[1] == 0.0 and got[2] == 1.0

@@ -60,6 +60,10 @@ class Scene(NamedTuple):
     # quadruple the G-buffer pass's dominant cost).
     tex_packed: jnp.ndarray       # [M,TS,Wa,12]
     alpha_test: jnp.ndarray       # [M] bool
+    # gather-friendly packing (gathers cost per ROW): all vertex attributes in
+    # one row, and (i0,i1,i2,mat) in one row per triangle
+    vertex_packed: jnp.ndarray    # [V,8] f32: pos xyz, normal xyz, uv
+    tri_meta: jnp.ndarray         # [T,4] i32: i0, i1, i2, mat_id
 
     @property
     def num_tris(self) -> int:
@@ -150,6 +154,9 @@ def build_scene(
         [sampling.build_mip_atlas(arr[i]) for i in range(arr.shape[0])]
     )
 
+    vertex_packed = np.concatenate([pos, nrm, uv], axis=1).astype(np.float32)
+    tri_meta = np.concatenate([idx, mat[:, None]], axis=1).astype(np.int32)
+
     return Scene(
         positions=jnp.asarray(pos),
         normals=jnp.asarray(nrm),
@@ -158,4 +165,6 @@ def build_scene(
         mat_id=jnp.asarray(mat),
         tex_packed=tex_packed,
         alpha_test=jnp.asarray(np.asarray(at, bool)),
+        vertex_packed=jnp.asarray(vertex_packed),
+        tri_meta=jnp.asarray(tri_meta),
     )

@@ -328,6 +328,138 @@ def build_mip_atlas(tex, levels=None):
     return atlas
 
 
+# ---------------------------------------------------------------------------
+# Quad packing: 2x2 texel blocks per row.  TPU gathers cost per ROW (~13ns,
+# docs/PERF_NOTES.md), so multi-tap filters that share a texel window get
+# 2-4x fewer gathers by fetching packed blocks and doing the (cheap, dense)
+# unpack/select math on the VPU.
+
+
+def quad_pack(tex):
+    """[H,W,C] -> [H/2, W/2, 4C]; block channel layout (dy*2+dx)*C + c.
+    Odd dims are edge-padded."""
+    h, w, c = tex.shape
+    if h % 2 or w % 2:
+        tex = jnp.pad(tex, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        h, w = tex.shape[:2]
+    t = tex.reshape(h // 2, 2, w // 2, 2, c)
+    return t.transpose(0, 2, 1, 3, 4).reshape(h // 2, w // 2, 4 * c)
+
+
+def _quad_window(qtex, base_y, base_x, n_blocks):
+    """Fetch an n_blocks x n_blocks block window -> texel grid list
+    U[u][v] ([...,C] each) for u,v in [0, 2*n_blocks)."""
+    hb, wb, c4 = qtex.shape
+    c = c4 // 4
+    flat = qtex.reshape(hb * wb, c4)
+    rows = {}
+    for a in range(n_blocks):
+        for b in range(n_blocks):
+            iy = jnp.clip(base_y + a, 0, hb - 1)
+            ix = jnp.clip(base_x + b, 0, wb - 1)
+            rows[(a, b)] = jnp.take(flat, iy * wb + ix, axis=0)
+    u_grid = {}
+    for a in range(n_blocks):
+        for b in range(n_blocks):
+            blk = rows[(a, b)]
+            for dy in range(2):
+                for dx in range(2):
+                    u_grid[(2 * a + dy, 2 * b + dx)] = blk[
+                        ..., (dy * 2 + dx) * c : (dy * 2 + dx + 1) * c
+                    ]
+    return u_grid
+
+
+def _parity_select(u_grid, ry, rx, i, j):
+    """Texel (i,j) relative to a dynamic 0/1 parity offset (ry, rx)."""
+    a = jnp.where(
+        rx[..., None] > 0, u_grid[(i, j + 1)], u_grid[(i, j)]
+    )
+    b = jnp.where(
+        rx[..., None] > 0, u_grid[(i + 1, j + 1)], u_grid[(i + 1, j)]
+    )
+    return jnp.where(ry[..., None] > 0, b, a)
+
+
+def sample_catmull_rom_quad(qtex, base_h, base_w, uv):
+    """Catmull-Rom resampling from a quad-packed texture: 9 packed rows fetch
+    the full 4x4 footprint (vs 36 rows for 9 bilinear taps).  Matches
+    sample_catmull_rom away from a 2-texel border (edge clamping differs)."""
+    tex_size = jnp.array([base_w, base_h], jnp.float32)
+    sample_pos = uv * tex_size
+    t1 = jnp.floor(sample_pos - 0.5)
+    f = sample_pos - 0.5 - t1
+    # per-axis Catmull-Rom weights for taps t0..t3 (t0 = t1 - 1)
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    wx = [w0[..., 0], w1[..., 0], w2[..., 0], w3[..., 0]]
+    wy = [w0[..., 1], w1[..., 1], w2[..., 1], w3[..., 1]]
+
+    t0x = jnp.clip(t1[..., 0].astype(jnp.int32) - 1, 0, base_w - 4)
+    t0y = jnp.clip(t1[..., 1].astype(jnp.int32) - 1, 0, base_h - 4)
+    by = t0y // 2
+    bx = t0x // 2
+    ry = t0y - 2 * by
+    rx = t0x - 2 * bx
+    u_grid = _quad_window(qtex, by, bx, 3)
+
+    out = 0.0
+    for i in range(4):
+        for j in range(4):
+            t = _parity_select(u_grid, ry, rx, i, j)
+            out = out + t * (wy[i] * wx[j])[..., None]
+    return out
+
+
+def sample_pcf4_quad(qdepth, base_size, uv, ref, offsets):
+    """4-tap bilinear PCF from a quad-packed depth map: 9 packed rows cover
+    the shared 4x4 texel window of all taps (vs 16 scalar-row gathers).
+
+    qdepth [S/2,S/2,4]; uv already includes any per-pixel jitter; offsets are
+    the tap centres in texels (lighting_pass.glsl:604-608 rotated grid).
+    Equivalent to averaging sample_depth_compare over the taps.
+    """
+    s = base_size
+    p = uv * s - 0.5                       # texel coords of the un-offset tap
+    base_x = jnp.clip(jnp.floor(p[..., 0]).astype(jnp.int32) - 1, 0, s - 4)
+    base_y = jnp.clip(jnp.floor(p[..., 1]).astype(jnp.int32) - 1, 0, s - 4)
+    by = base_y // 2
+    bx = base_x // 2
+    ry = base_y - 2 * by
+    rx = base_x - 2 * bx
+    u_grid = _quad_window(qdepth, by, bx, 3)
+
+    # accumulated bilinear weight of each window texel over all taps
+    w = [[0.0] * 4 for _ in range(4)]
+    for (ox, oy) in offsets:
+        tx = p[..., 0] + ox
+        ty = p[..., 1] + oy
+        x0 = jnp.floor(tx).astype(jnp.int32)
+        y0 = jnp.floor(ty).astype(jnp.int32)
+        fx = tx - x0.astype(jnp.float32)
+        fy = ty - y0.astype(jnp.float32)
+        ux = jnp.clip(x0 - base_x, 0, 3)   # clamp guards the clipped bases
+        uy = jnp.clip(y0 - base_y, 0, 3)
+        for j in range(4):
+            hit_x0 = (ux == j).astype(jnp.float32)
+            hit_x1 = (ux == j - 1).astype(jnp.float32)
+            wxj = hit_x0 * (1.0 - fx) + hit_x1 * fx
+            for i in range(4):
+                hit_y0 = (uy == i).astype(jnp.float32)
+                hit_y1 = (uy == i - 1).astype(jnp.float32)
+                wyi = hit_y0 * (1.0 - fy) + hit_y1 * fy
+                w[i][j] = w[i][j] + wxj * wyi
+
+    vis = 0.0
+    for i in range(4):
+        for j in range(4):
+            t = _parity_select(u_grid, ry, rx, i, j)[..., 0]
+            vis = vis + w[i][j] * (ref < t).astype(jnp.float32)
+    return vis / len(offsets)
+
+
 def pack_mip_atlas(levels_list):
     """Pack an explicit list of mip images (level k shaped ~[H>>k, W>>k, C])
     into one atlas compatible with sample_mip_atlas.  Used to expose the bloom

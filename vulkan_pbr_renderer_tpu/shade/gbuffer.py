@@ -88,11 +88,13 @@ def gbuffer_pass(
 
     lam, dlam_dx, dlam_dy = _lambda_and_derivs(setup, tid, px, py)
 
-    vidx = scene.indices[tid]                      # [H,W,3]
-    pos_tri = scene.positions[vidx]                # [H,W,3,3]
-    nrm_tri = scene.normals[vidx]
-    uv_tri = scene.uvs[vidx]
-    mat = scene.mat_id[tid]                        # [H,W]
+    meta = scene.tri_meta[tid]                     # [H,W,4] one row per pixel
+    vidx = meta[..., :3]
+    mat = meta[..., 3]
+    vert = scene.vertex_packed[vidx]               # [H,W,3,8] three rows
+    pos_tri = vert[..., 0:3]
+    nrm_tri = vert[..., 3:6]
+    uv_tri = vert[..., 6:8]
 
     world_pos = _interp(pos_tri, lam)
     normal_geo = _interp(nrm_tri, lam)

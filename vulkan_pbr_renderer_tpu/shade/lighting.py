@@ -147,9 +147,10 @@ def lighting_pass(
 
     # --- sun shadow + direct light (glsl:592-679) -------------------------
     if cfg.enable_shadows:
+        qdepth = sampling.quad_pack(res.sun_depth[..., None])
         vis = shadow.sun_visibility(
             res.sun_depth, glob.sun_from_world, p_world, n, noise_1, noise_2,
-            cfg.shadow_normal_offset,
+            cfg.shadow_normal_offset, qdepth=qdepth,
         )
     else:
         vis = jnp.ones((h, w), jnp.float32)

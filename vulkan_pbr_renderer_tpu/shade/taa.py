@@ -85,7 +85,8 @@ def taa_resolve(
 
     prev_vel = sampling.sample_bilinear(velocity_prev, reproj_uv)
     if catmull_history:
-        prev_color = sampling.sample_catmull_rom(history, reproj_uv)
+        qhist = sampling.quad_pack(history)
+        prev_color = sampling.sample_catmull_rom_quad(qhist, h, w, reproj_uv)
     else:
         prev_color = sampling.sample_bilinear(history, reproj_uv)
     prev_color = jnp.clip(prev_color, minc, maxc)
