@@ -586,6 +586,39 @@ def build_cube_mip_atlas(faces, levels=None):
     return jnp.stack(packed, axis=0)
 
 
+def sample_cubemap_level(cube_atlas, base_size, r, level):
+    """Bilinear cubemap sample at one STATIC mip level (4 gather rows vs 8+
+    for the dynamic-lod trilinear path — use when the lod is a constant,
+    e.g. the sky fallback's textureLod(..., 1.) at lighting_pass.glsl:709)."""
+    six, s, wa, c = cube_atlas.shape
+    levels = n_mip_levels(base_size, base_size)
+    level = min(int(level), levels - 1)
+    offs, _ = mip_offsets(base_size, base_size, levels)
+    ls = max(1, base_size >> level)
+    off = offs[level]
+
+    face, uv = cubemap_face_uv_from_dir(r)
+    x = uv[..., 0] * ls - 0.5
+    y = uv[..., 1] * ls - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    flat = cube_atlas.reshape(6 * s * wa, c)
+
+    def g(iy, ix):
+        iy = jnp.clip(iy, 0, ls - 1)
+        ix = off + jnp.clip(ix, 0, ls - 1)
+        return jnp.take(flat, (face * s + iy) * wa + ix, axis=0)
+
+    t00, t10 = g(y0, x0), g(y0, x0 + 1)
+    t01, t11 = g(y0 + 1, x0), g(y0 + 1, x0 + 1)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
 def sample_cubemap_lod(cube_atlas, base_size, r, lod):
     """Trilinear cubemap sample with dynamic LOD from a cube mip atlas.
 

@@ -117,10 +117,21 @@ def voxelize_scene(
     offsets = jnp.cumsum(counts) - counts           # exclusive
     total = offsets[-1] + counts[-1]
 
+    # stream expansion by scatter + cummax (searchsorted costs O(P log N)
+    # gathers — see raster/binning.py for the pattern)
+    n_tris = counts.shape[0]
     pid = jnp.arange(total_samples, dtype=jnp.int32)
-    tri_of = jnp.searchsorted(offsets, pid, side="right").astype(jnp.int32) - 1
-    tri_of = jnp.clip(tri_of, 0, counts.shape[0] - 1)
-    local = pid - offsets[tri_of]
+    scat = jnp.where(counts > 0, offsets, total_samples)
+    arr = jnp.full((total_samples,), -1, jnp.int32)
+    tri_of = jnp.clip(
+        jax.lax.cummax(arr.at[scat].max(jnp.arange(n_tris, dtype=jnp.int32))),
+        0, n_tris - 1,
+    )
+    run_start = jnp.maximum(
+        jax.lax.cummax(jnp.full((total_samples,), -1, jnp.int32).at[scat].max(offsets)),
+        0,
+    )
+    local = pid - run_start
     in_range = pid < total
 
     # low-discrepancy barycentric points (R2 sequence folded into the triangle)

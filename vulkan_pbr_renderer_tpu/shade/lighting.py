@@ -253,9 +253,7 @@ def lighting_pass(
     # --- sky fallback (glsl:708-710) --------------------------------------
     out_of_bounds = jnp.any(jnp.abs(p_world) > cfg.world_bounds, axis=-1) | ~g.coverage
     env_size = res.prefiltered_env.shape[1]
-    sky = sampling.sample_cubemap_lod(
-        res.prefiltered_env, env_size, -v, jnp.ones((h, w), jnp.float32)
-    )
+    sky = sampling.sample_cubemap_level(res.prefiltered_env, env_size, -v, 1)
     outgoing = jnp.where(out_of_bounds[..., None], sky, outgoing)
 
     return jnp.maximum(outgoing, 0.0)
