@@ -60,3 +60,51 @@ def test_pcf_quad_edges_sane():
                            jnp.array([0.4, 0.6, 0.4]), PCF_OFFSETS)
     )
     assert got[0] == 1.0 and got[1] == 0.0 and got[2] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Window ("shingled") packed samplers — ONE gather row per filter evaluation
+
+
+def test_catmull_window_matches_reference_interior():
+    rng = np.random.default_rng(4)
+    tex = jnp.asarray(rng.random((32, 48, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (500, 2)).astype(np.float32))
+    ref = np.asarray(S.sample_catmull_rom(tex, uv))
+    got = np.asarray(
+        S.sample_catmull_rom_window(S.window_pack(tex, 4, 4), 32, 48, uv, 3)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pcf_window_matches_scalar_taps():
+    rng = np.random.default_rng(5)
+    depth = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (400, 2)).astype(np.float32))
+    ref_z = jnp.asarray(rng.random(400).astype(np.float32))
+    s = 64
+    expect = 0.0
+    for (ox, oy) in PCF_OFFSETS:
+        expect = expect + S.sample_depth_compare(
+            depth, uv + jnp.array([ox / s, oy / s]), ref_z
+        )
+    expect = np.asarray(expect) * 0.25
+    got = np.asarray(
+        S.sample_pcf4_window(S.window_pack(depth[..., None], 4, 4), s, uv,
+                             ref_z, PCF_OFFSETS)
+    )
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_trilinear_window_matches_reference():
+    rng = np.random.default_rng(6)
+    vol = jnp.asarray(rng.random((16, 16, 16, 4)).astype(np.float32))
+    uvw = jnp.asarray(rng.uniform(0.1, 0.9, (300, 3)).astype(np.float32))
+    ref = np.asarray(S.sample_trilinear_3d(vol, uvw))
+    got = np.asarray(S.sample_trilinear_window(S.window_pack3d(vol), uvw, 4))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # edge clamping matches too
+    uvw_edge = jnp.asarray(np.array([[0.01, 0.5, 0.99], [0.99, 0.01, 0.5]], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(S.sample_trilinear_window(S.window_pack3d(vol), uvw_edge, 4)),
+        np.asarray(S.sample_trilinear_3d(vol, uvw_edge)), atol=2e-5)

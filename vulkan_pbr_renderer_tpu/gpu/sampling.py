@@ -329,10 +329,151 @@ def build_mip_atlas(tex, levels=None):
 
 
 # ---------------------------------------------------------------------------
-# Quad packing: 2x2 texel blocks per row.  TPU gathers cost per ROW (~13ns,
-# docs/PERF_NOTES.md), so multi-tap filters that share a texel window get
-# 2-4x fewer gathers by fetching packed blocks and doing the (cheap, dense)
-# unpack/select math on the VPU.
+# Window ("shingled") packing: store each texel's whole filter window in its
+# row.  TPU gathers cost per ROW (~13ns/row, docs/PERF_NOTES.md) regardless of
+# row width, so trading HBM capacity (wy*wx*C floats per texel) for ONE gather
+# per multi-tap filter evaluation is a huge win: PCF 16 rows -> 1,
+# TAA Catmull-Rom 36 -> 1, GI trilinear 8 -> 1.  Packs are dense reshifts
+# rebuilt per frame (~1 ms of bandwidth each).
+
+
+def window_pack(tex, wy, wx):
+    """[H,W,C] -> [H,W,wy*wx*C]; row (y,x) holds tex[y:y+wy, x:x+wx]
+    edge-clamped, channel layout (dy*wx+dx)*C + c."""
+    h, w, c = tex.shape
+    p = jnp.pad(tex, ((0, wy - 1), (0, wx - 1), (0, 0)), mode="edge")
+    return jnp.concatenate(
+        [p[dy : dy + h, dx : dx + w] for dy in range(wy) for dx in range(wx)],
+        axis=-1,
+    )
+
+
+def window_pack3d(vol):
+    """[D,H,W,C] -> [D,H,W,8C]; row (z,y,x) holds the 2x2x2 corner block
+    (dz*4+dy*2+dx)*C + c, edge-clamped."""
+    d, h, w, c = vol.shape
+    p = jnp.pad(vol, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    return jnp.concatenate(
+        [
+            p[dz : dz + d, dy : dy + h, dx : dx + w]
+            for dz in range(2)
+            for dy in range(2)
+            for dx in range(2)
+        ],
+        axis=-1,
+    )
+
+
+def sample_trilinear_window(wvol, uvw, channels):
+    """Trilinear 3D sample from a window_pack3d volume — ONE gather row.
+
+    wvol [D,H,W,8C]; uvw [...,3] (x,y,z) clamp-addressed; returns [...,C].
+    """
+    d, h, w, c8 = wvol.shape
+    x = uvw[..., 0] * w - 0.5
+    y = uvw[..., 1] * h - 0.5
+    z = uvw[..., 2] * d - 0.5
+    x0f, y0f, z0f = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    fx = jnp.clip(x - x0f, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0f, 0.0, 1.0)[..., None]
+    fz = jnp.clip(z - z0f, 0.0, 1.0)[..., None]
+    ix = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    iz = jnp.clip(z0f.astype(jnp.int32), 0, d - 1)
+    # clamp below 0: fractional must also clamp so the edge texel repeats
+    fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
+    fz = jnp.where((z0f < 0)[..., None], 0.0, fz)
+
+    flat = wvol.reshape(d * h * w, c8)
+    row = jnp.take(flat, (iz * h + iy) * w + ix, axis=0)
+    cc = channels
+
+    def corner(dz, dy, dx):
+        k = (dz * 4 + dy * 2 + dx) * cc
+        return row[..., k : k + cc]
+
+    c00 = corner(0, 0, 0) + (corner(0, 0, 1) - corner(0, 0, 0)) * fx
+    c10 = corner(0, 1, 0) + (corner(0, 1, 1) - corner(0, 1, 0)) * fx
+    c01 = corner(1, 0, 0) + (corner(1, 0, 1) - corner(1, 0, 0)) * fx
+    c11 = corner(1, 1, 0) + (corner(1, 1, 1) - corner(1, 1, 0)) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return c0 + (c1 - c0) * fz
+
+
+def sample_catmull_rom_window(wtex, base_h, base_w, uv, channels):
+    """Catmull-Rom resample from a 4x4 window_pack — ONE gather row.
+    Matches sample_catmull_rom away from a 2-texel border."""
+    tex_size = jnp.array([base_w, base_h], jnp.float32)
+    sample_pos = uv * tex_size
+    t1 = jnp.floor(sample_pos - 0.5)
+    f = sample_pos - 0.5 - t1
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    wx = [w0[..., 0], w1[..., 0], w2[..., 0], w3[..., 0]]
+    wy = [w0[..., 1], w1[..., 1], w2[..., 1], w3[..., 1]]
+
+    t0x = jnp.clip(t1[..., 0].astype(jnp.int32) - 1, 0, base_w - 4)
+    t0y = jnp.clip(t1[..., 1].astype(jnp.int32) - 1, 0, base_h - 4)
+    flat = wtex.reshape(base_h * base_w, -1)
+    row = jnp.take(flat, t0y * base_w + t0x, axis=0)
+    cc = channels
+    out = 0.0
+    for i in range(4):
+        for j in range(4):
+            k = (i * 4 + j) * cc
+            out = out + row[..., k : k + cc] * (wy[i] * wx[j])[..., None]
+    return out
+
+
+def sample_pcf4_window(wdepth, base_size, uv, ref, offsets):
+    """4-tap bilinear PCF from a 4x4 window_pack — ONE gather row.
+    Equivalent to averaging sample_depth_compare over the taps (interior)."""
+    s = base_size
+    p = uv * s - 0.5
+    base_x = jnp.clip(jnp.floor(p[..., 0]).astype(jnp.int32) - 1, 0, s - 4)
+    base_y = jnp.clip(jnp.floor(p[..., 1]).astype(jnp.int32) - 1, 0, s - 4)
+    flat = wdepth.reshape(s * s, -1)
+    row = jnp.take(flat, base_y * s + base_x, axis=0)
+
+    T = [[row[..., i * 4 + j] for j in range(4)] for i in range(4)]
+    cmp = [[(ref < T[i][j]).astype(jnp.float32) for j in range(4)] for i in range(4)]
+
+    vis = 0.0
+    for (ox, oy) in offsets:
+        tx = p[..., 0] + ox
+        ty = p[..., 1] + oy
+        x0 = jnp.floor(tx).astype(jnp.int32)
+        y0 = jnp.floor(ty).astype(jnp.int32)
+        fx = tx - x0.astype(jnp.float32)
+        fy = ty - y0.astype(jnp.float32)
+        ux = jnp.clip(x0 - base_x, 0, 2)
+        uy = jnp.clip(y0 - base_y, 0, 2)
+
+        def pick(dy, dx):
+            # value of window texel (uy+dy, ux+dx) via a static select chain
+            # (a dynamic channel index would lower to a gather again)
+            def col(j):
+                return jnp.where(
+                    uy == 0, cmp[0 + dy][j],
+                    jnp.where(uy == 1, cmp[1 + dy][j], cmp[2 + dy][j]),
+                )
+            return jnp.where(
+                ux == 0, col(0 + dx),
+                jnp.where(ux == 1, col(1 + dx), col(2 + dx)),
+            )
+
+        c00 = pick(0, 0)
+        c10 = pick(0, 1)
+        c01 = pick(1, 0)
+        c11 = pick(1, 1)
+        top = c00 + (c10 - c00) * fx
+        bot = c01 + (c11 - c01) * fx
+        vis = vis + top + (bot - top) * fy
+    return vis / len(offsets)
 
 
 def quad_pack(tex):

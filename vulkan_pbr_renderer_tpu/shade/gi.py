@@ -184,9 +184,17 @@ def voxelize_scene(
     return grid.reshape(grid_size, grid_size, grid_size, 4)
 
 
+def _gs_uvw(vol, uvw):
+    """Trilinear fetch accepting either a raw [D,H,W,4] grid or a
+    window-packed [D,H,W,32] one (sampling.window_pack3d — ONE gather row)."""
+    if vol.shape[-1] == 32:
+        return sampling.sample_trilinear_window(vol, uvw, 4)
+    return sampling.sample_trilinear_3d(vol, uvw)
+
+
 def grid_sample(grid, ro_grid):
     """Trilinear lightgrid fetch at grid-NDC position ro (uvw = ro*0.5+0.5)."""
-    return sampling.sample_trilinear_3d(grid, ro_grid * 0.5 + 0.5)
+    return _gs_uvw(grid, ro_grid * 0.5 + 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +392,7 @@ def sample_radiance_with_screen_trace(
         asum = 0.0
         for k in (0.2, 0.4, 0.6):
             mixk = t_start + (t_end - t_start) * (noff + k)[..., None]
-            asum = asum + sampling.sample_trilinear_3d(grid, mixk)[..., 3]
+            asum = asum + _gs_uvw(grid, mixk)[..., 3]
         solid = asum >= 1.5
 
         # translucent surface: boost the step and keep going (glsl:357-361)

@@ -147,10 +147,10 @@ def lighting_pass(
 
     # --- sun shadow + direct light (glsl:592-679) -------------------------
     if cfg.enable_shadows:
-        qdepth = sampling.quad_pack(res.sun_depth[..., None])
+        wdepth = sampling.window_pack(res.sun_depth[..., None], 4, 4)
         vis = shadow.sun_visibility(
             res.sun_depth, glob.sun_from_world, p_world, n, noise_1, noise_2,
-            cfg.shadow_normal_offset, qdepth=qdepth,
+            cfg.shadow_normal_offset, wdepth=wdepth,
         )
     else:
         vis = jnp.ones((h, w), jnp.float32)
@@ -183,6 +183,7 @@ def lighting_pass(
     # --- GI (glsl:683-702) ------------------------------------------------
     if cfg.enable_gi:
         kg = cfg.gi_res_divisor
+        wgrid = sampling.window_pack3d(res.lightgrid)
         trace_depth = depth_full if depth_full is not None else g.depth
         nd, vd = _down(n, kg), _down(v, kg)
         n1d, n2d, n3d = _down(noise_1, kg), _down(noise_2, kg), _down(noise_3, kg)
@@ -191,11 +192,11 @@ def lighting_pass(
         bent = bent_normal_cosine(nd, n1d, n3d)
         if cfg.gi_mode == "fast":
             ambient = gi.sample_radiance_fast(
-                res.lightgrid, pwd, bent, cfg.lightgrid_scale
+                wgrid, pwd, bent, cfg.lightgrid_scale
             )
         else:
             ambient = gi.sample_radiance_with_screen_trace(
-                res.lightgrid, trace_depth, res.prev_frame_atlas,
+                wgrid, trace_depth, res.prev_frame_atlas,
                 glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
                 glob.world_from_view,
                 vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
@@ -219,11 +220,11 @@ def lighting_pass(
         spec_fog = roughd if cfg.gi_specular_foggyness_is_roughness else 0.9
         if cfg.gi_mode == "fast":
             spec = gi.sample_radiance_fast(
-                res.lightgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0
+                wgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0
             )
         else:
             spec = gi.sample_radiance_with_screen_trace(
-                res.lightgrid, trace_depth, res.prev_frame_atlas,
+                wgrid, trace_depth, res.prev_frame_atlas,
                 glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
                 glob.world_from_view,
                 vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),

@@ -41,12 +41,12 @@ def sun_matrices(sun_angle_x_deg, sun_angle_y_deg, half_size=40.0):
 
 
 def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
-                   noise_1, noise_2, normal_offset=0.1, qdepth=None):
+                   noise_1, noise_2, normal_offset=0.1, wdepth=None):
     """4-tap PCF sun visibility in [0,1] (lighting_pass.glsl:592-608).
 
     sun_depth [S,S]; world_pos/normal [...,3]; noise_* [...] per-pixel.
-    Pass qdepth = sampling.quad_pack(sun_depth[..., None]) to fetch the shared
-    4x4 tap window in 9 packed gather rows instead of 16.
+    Pass wdepth = sampling.window_pack(sun_depth[..., None], 4, 4) to fetch
+    the shared 4x4 tap window in ONE gather row instead of 16.
     """
     s = sun_depth.shape[0]
     px = 1.0 / s
@@ -56,8 +56,8 @@ def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
     ref = sun_p[..., 2]
     # per-pixel jitter of the tap centre (glsl:600)
     uv = uv + 2.0 * jnp.stack([noise_2 - 0.5, noise_1 - 0.5], -1) * px
-    if qdepth is not None:
-        return sampling.sample_pcf4_quad(qdepth, s, uv, ref, PCF_OFFSETS)
+    if wdepth is not None:
+        return sampling.sample_pcf4_window(wdepth, s, uv, ref, PCF_OFFSETS)
     vis = 0.0
     for (ox, oy) in PCF_OFFSETS:
         vis = vis + sampling.sample_depth_compare(

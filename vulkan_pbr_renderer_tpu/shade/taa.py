@@ -85,8 +85,8 @@ def taa_resolve(
 
     prev_vel = sampling.sample_bilinear(velocity_prev, reproj_uv)
     if catmull_history:
-        qhist = sampling.quad_pack(history)
-        prev_color = sampling.sample_catmull_rom_quad(qhist, h, w, reproj_uv)
+        whist = sampling.window_pack(history, 4, 4)
+        prev_color = sampling.sample_catmull_rom_window(whist, h, w, reproj_uv, 3)
     else:
         prev_color = sampling.sample_bilinear(history, reproj_uv)
     prev_color = jnp.clip(prev_color, minc, maxc)
