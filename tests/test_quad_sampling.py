@@ -108,3 +108,38 @@ def test_trilinear_window_matches_reference():
     np.testing.assert_allclose(
         np.asarray(S.sample_trilinear_window(S.window_pack3d(vol), uvw_edge, 4)),
         np.asarray(S.sample_trilinear_3d(vol, uvw_edge)), atol=2e-5)
+
+
+def test_bilinear_window_matches_reference():
+    rng = np.random.default_rng(7)
+    tex = jnp.asarray(rng.random((16, 24, 2)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.1, 0.9, (200, 2)).astype(np.float32))
+    ref = np.asarray(S.sample_bilinear(tex, uv))
+    got = np.asarray(S.sample_bilinear_window(S.window_pack(tex, 2, 2), 16, 24, uv, 2))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_depth_compare_window_matches():
+    rng = np.random.default_rng(8)
+    depth = jnp.asarray(rng.random((32, 32)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.1, 0.9, (200, 2)).astype(np.float32))
+    ref_z = jnp.asarray(rng.random(200).astype(np.float32))
+    ref = np.asarray(S.sample_depth_compare(depth, uv, ref_z))
+    got = np.asarray(S.sample_depth_compare_window(
+        S.window_pack(depth[..., None], 4, 4), 32, uv, ref_z))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_mip_atlas_window_matches_interior():
+    rng = np.random.default_rng(9)
+    texs = jnp.asarray(rng.random((3, 16, 16, 12)).astype(np.float32))
+    plain = jnp.stack([S.build_mip_atlas(texs[i]) for i in range(3)])
+    win = jnp.stack([S.build_mip_atlas_window(texs[i]) for i in range(3)])
+    # interior uv only: the window atlas clamps (instead of wraps) on each
+    # level's last row/column, so stay off texel ls-1 at the coarsest level
+    uv = jnp.asarray(rng.uniform(0.15, 0.8, (200, 2)).astype(np.float32))
+    layer = jnp.asarray(rng.integers(0, 3, 200, dtype=np.int32))
+    for lod in [0.0, 0.7, 1.5, 2.0]:
+        ref = np.asarray(S.sample_mip_atlas_array(plain, layer, uv, jnp.full(200, lod)))
+        got = np.asarray(S.sample_mip_atlas_array_window(win, layer, uv, jnp.full(200, lod), 12))
+        np.testing.assert_allclose(got, ref, atol=3e-5, err_msg=f"lod {lod}")

@@ -58,7 +58,9 @@ class Scene(NamedTuple):
     # maps into one texture means a single gather row fetches every material
     # channel (TPU gathers cost per ROW, ~13ns — 4 separate atlases would
     # quadruple the G-buffer pass's dominant cost).
-    tex_packed: jnp.ndarray       # [M,TS,Wa,12]
+    tex_packed: jnp.ndarray       # [M,TS,Wa,48]: each texel carries its 2x2
+                                  # bilinear window (build_mip_atlas_window) —
+                                  # dynamic-LOD sampling = 2 gather rows
     alpha_test: jnp.ndarray       # [M] bool
     # gather-friendly packing (gathers cost per ROW): all vertex attributes in
     # one row, and (i0,i1,i2,mat) in one row per triangle
@@ -151,7 +153,7 @@ def build_scene(
     )
     arr = jnp.asarray(packed, dtype)
     tex_packed = jnp.stack(
-        [sampling.build_mip_atlas(arr[i]) for i in range(arr.shape[0])]
+        [sampling.build_mip_atlas_window(arr[i]) for i in range(arr.shape[0])]
     )
 
     vertex_packed = np.concatenate([pos, nrm, uv], axis=1).astype(np.float32)

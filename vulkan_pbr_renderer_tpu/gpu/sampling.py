@@ -429,6 +429,129 @@ def sample_catmull_rom_window(wtex, base_h, base_w, uv, channels):
     return out
 
 
+def sample_bilinear_window(wtex, base_h, base_w, uv, channels, mode="clamp"):
+    """Bilinear sample from a 2x2 window_pack(tex, 2, 2) — ONE gather row.
+
+    In wrap mode the last row/column's window clamps instead of wrapping
+    (window packs are edge-clamped): a 1-texel seam error at tile borders.
+    """
+    x = uv[..., 0] * base_w - 0.5
+    y = uv[..., 1] * base_h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    if mode == "wrap":
+        ix = jnp.mod(x0f.astype(jnp.int32), base_w)
+        iy = jnp.mod(y0f.astype(jnp.int32), base_h)
+    else:
+        ix = jnp.clip(x0f.astype(jnp.int32), 0, base_w - 1)
+        iy = jnp.clip(y0f.astype(jnp.int32), 0, base_h - 1)
+        fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
+        fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
+    flat = wtex.reshape(base_h * base_w, -1)
+    row = jnp.take(flat, iy * base_w + ix, axis=0)
+    c = channels
+    t00 = row[..., 0 * c : 1 * c]
+    t10 = row[..., 1 * c : 2 * c]
+    t01 = row[..., 2 * c : 3 * c]
+    t11 = row[..., 3 * c : 4 * c]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_depth_compare_window(wdepth, base_size, uv, ref):
+    """Single bilinear-compare tap from the PCF's 4x4 window pack — ONE row
+    (the 2x2 corner set is channels 0,1,4,5 of the 4x4 layout).  Used by the
+    light-shaft march (lighting_pass.glsl:640-650): 4 rows/step -> 1."""
+    s = base_size
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    ix = jnp.clip(x0f.astype(jnp.int32), 0, s - 1)
+    iy = jnp.clip(y0f.astype(jnp.int32), 0, s - 1)
+    fx = jnp.where(x0f < 0, 0.0, fx)
+    fy = jnp.where(y0f < 0, 0.0, fy)
+    flat = wdepth.reshape(s * s, -1)
+    row = jnp.take(flat, iy * s + ix, axis=0)
+    c00 = (ref < row[..., 0]).astype(jnp.float32)
+    c10 = (ref < row[..., 1]).astype(jnp.float32)
+    c01 = (ref < row[..., 4]).astype(jnp.float32)
+    c11 = (ref < row[..., 5]).astype(jnp.float32)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
+def build_mip_atlas_window(tex, levels=None):
+    """Mip atlas whose texels carry their 2x2 bilinear window (4C channels):
+    dynamic-LOD material sampling drops from 8 gather rows to 2.  Each level
+    is window-packed separately (windows never cross level boundaries);
+    wrap addressing degrades to clamp on each level's last row/column."""
+    h, w, c = tex.shape
+    levels = levels or n_mip_levels(h, w)
+    offs, wa = mip_offsets(h, w, levels)
+    atlas = jnp.zeros((h, wa, 4 * c), tex.dtype)
+    cur = tex
+    for k in range(levels):
+        lh, lw = max(1, h >> k), max(1, w >> k)
+        atlas = atlas.at[:lh, offs[k] : offs[k] + lw].set(window_pack(cur, 2, 2))
+        if k + 1 < levels:
+            cur = downsample2x(cur)
+    return atlas
+
+
+def sample_mip_atlas_array_window(atlas, layer, uv, lod, channels, mode="wrap"):
+    """Layered dynamic-LOD sampling from a build_mip_atlas_window atlas:
+    2 gather rows per sample (vs 8).  Matches sample_mip_atlas_array away
+    from level borders in wrap mode."""
+    nl, base_h, wa, c4 = atlas.shape
+    base_w = base_h
+    c = channels
+    levels = n_mip_levels(base_h, base_w)
+    offs, wa_expect = mip_offsets(base_h, base_w, levels)
+    assert wa == wa_expect
+    offs_arr = jnp.array(offs, jnp.int32)
+    size_arr = jnp.array([max(1, base_h >> k) for k in range(levels)], jnp.int32)
+
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    flat = atlas.reshape(nl * base_h * wa, c4)
+
+    def level_sample(lv):
+        ls = jnp.take(size_arr, lv)
+        off = jnp.take(offs_arr, lv)
+        x = uv[..., 0] * ls - 0.5
+        y = uv[..., 1] * ls - 0.5
+        x0f, y0f = jnp.floor(x), jnp.floor(y)
+        fx = (x - x0f)[..., None]
+        fy = (y - y0f)[..., None]
+        if mode == "wrap":
+            ix = jnp.mod(x0f.astype(jnp.int32), ls)
+            iy = jnp.mod(y0f.astype(jnp.int32), ls)
+        else:
+            ix = jnp.clip(x0f.astype(jnp.int32), 0, ls - 1)
+            iy = jnp.clip(y0f.astype(jnp.int32), 0, ls - 1)
+            fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
+            fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
+        row = jnp.take(flat, (layer * base_h + iy) * wa + off + ix, axis=0)
+        t00 = row[..., 0 * c : 1 * c]
+        t10 = row[..., 1 * c : 2 * c]
+        t01 = row[..., 2 * c : 3 * c]
+        t11 = row[..., 3 * c : 4 * c]
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        return top + (bot - top) * fy
+
+    s0 = level_sample(l0)
+    s1 = level_sample(l1)
+    return s0 + (s1 - s0) * fl
+
+
 def sample_pcf4_window(wdepth, base_size, uv, ref, offsets):
     """4-tap bilinear PCF from a 4x4 window_pack — ONE gather row.
     Equivalent to averaging sample_depth_compare over the taps (interior)."""

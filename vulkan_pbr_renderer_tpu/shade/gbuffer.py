@@ -114,7 +114,7 @@ def gbuffer_pass(
     lod = 0.5 * jnp.log2(jnp.maximum(du, 1e-12))
     lod = jnp.clip(lod, 0.0, 16.0)
 
-    texel = sampling.sample_mip_atlas_array(scene.tex_packed, mat, uv, lod)
+    texel = sampling.sample_mip_atlas_array_window(scene.tex_packed, mat, uv, lod, 12)
     base_color = texel[..., 0:4]
     nrm_xy = texel[..., 4:6]
     orm = texel[..., 6:9]

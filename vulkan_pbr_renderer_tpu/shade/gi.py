@@ -155,7 +155,7 @@ def voxelize_scene(
     mat = scene.mat_id[tri_of]
 
     lod = jnp.full(pid.shape, texture_lod, jnp.float32)
-    texel = sampling.sample_mip_atlas_array(scene.tex_packed, mat, uv, lod)
+    texel = sampling.sample_mip_atlas_array_window(scene.tex_packed, mat, uv, lod, 12)
     base_color = texel[..., 0:3]
     emissive = texel[..., 9:12]
 

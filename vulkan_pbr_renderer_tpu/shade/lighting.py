@@ -146,8 +146,9 @@ def lighting_pass(
     outgoing = jnp.zeros((h, w, 3), jnp.float32)
 
     # --- sun shadow + direct light (glsl:592-679) -------------------------
+    wdepth = (sampling.window_pack(res.sun_depth[..., None], 4, 4)
+              if cfg.enable_shadows else None)
     if cfg.enable_shadows:
-        wdepth = sampling.window_pack(res.sun_depth[..., None], 4, 4)
         vis = shadow.sun_visibility(
             res.sun_depth, glob.sun_from_world, p_world, n, noise_1, noise_2,
             cfg.shadow_normal_offset, wdepth=wdepth,
@@ -170,13 +171,17 @@ def lighting_pass(
             _down(p_world, ks_), _down(n, ks_), _down(noise_1, ks_),
             sun_emission, cfg.light_shaft_intensity,
             cfg.shadow_normal_offset, max_steps=cfg.light_shaft_steps * 3,
+            wdepth=wdepth,
         )
         outgoing = outgoing + _up(shafts, h, w)
 
     # --- split-sum weights (glsl:681) -------------------------------------
     f0 = brdf.f0_from_metallic(base_color, metallic, cfg.f0_dielectric)
     lut_uv = jnp.stack([v_dot_n, jnp.maximum(roughness, 0.05)], -1)
-    scale_bias = sampling.sample_bilinear(res.brdf_lut, lut_uv)
+    wlut = sampling.window_pack(res.brdf_lut, 2, 2)
+    scale_bias = sampling.sample_bilinear_window(
+        wlut, res.brdf_lut.shape[0], res.brdf_lut.shape[1], lut_uv, 2
+    )
     fresnel_scale = scale_bias[..., 0:1]
     fresnel_bias = scale_bias[..., 1:2]
 

@@ -68,7 +68,7 @@ def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
 
 def light_shafts(sun_depth, sun_space_from_world, camera_pos, world_pos, normal,
                  noise_1, sun_emission, intensity=0.001, normal_offset=0.1,
-                 max_steps=48):
+                 max_steps=48, wdepth=None):
     """Volumetric shaft march (lighting_pass.glsl:620-651).
 
     March from the camera to the surface point in shadow-map space with
@@ -88,13 +88,18 @@ def light_shafts(sun_depth, sun_space_from_world, camera_pos, world_pos, normal,
     pos0 = cam_sun + step * noise_1[..., None]
     trav0 = step_size * noise_1
 
+    s = sun_depth.shape[0]
+
     def body(i, carry):
         acc, pos, trav = carry
         pos = pos + step
         trav = trav + step_size
         active = trav <= dist
         uv = pos[..., :2] * 0.5 + 0.5
-        vis = sampling.sample_depth_compare(sun_depth, uv, pos[..., 2])
+        if wdepth is not None:
+            vis = sampling.sample_depth_compare_window(wdepth, s, uv, pos[..., 2])
+        else:
+            vis = sampling.sample_depth_compare(sun_depth, uv, pos[..., 2])
         acc = acc + jnp.where(active, vis, 0.0)
         return acc, pos, trav
 

@@ -83,7 +83,8 @@ def taa_resolve(
     uv = jnp.stack([jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w))], -1)
     reproj_uv = uv - vel * 0.5
 
-    prev_vel = sampling.sample_bilinear(velocity_prev, reproj_uv)
+    wvel = sampling.window_pack(velocity_prev, 2, 2)
+    prev_vel = sampling.sample_bilinear_window(wvel, h, w, reproj_uv, 2)
     if catmull_history:
         whist = sampling.window_pack(history, 4, 4)
         prev_color = sampling.sample_catmull_rom_window(whist, h, w, reproj_uv, 3)
