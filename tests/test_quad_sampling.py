@@ -135,9 +135,8 @@ def test_mip_atlas_window_matches_interior():
     texs = jnp.asarray(rng.random((3, 16, 16, 12)).astype(np.float32))
     plain = jnp.stack([S.build_mip_atlas(texs[i]) for i in range(3)])
     win = jnp.stack([S.build_mip_atlas_window(texs[i]) for i in range(3)])
-    # interior uv only: the window atlas clamps (instead of wraps) on each
-    # level's last row/column, so stay off texel ls-1 at the coarsest level
-    uv = jnp.asarray(rng.uniform(0.15, 0.8, (200, 2)).astype(np.float32))
+    # window atlas wraps at level borders — exact across the full uv range
+    uv = jnp.asarray(rng.uniform(0.0, 1.0, (200, 2)).astype(np.float32))
     layer = jnp.asarray(rng.integers(0, 3, 200, dtype=np.int32))
     for lod in [0.0, 0.7, 1.5, 2.0]:
         ref = np.asarray(S.sample_mip_atlas_array(plain, layer, uv, jnp.full(200, lod)))

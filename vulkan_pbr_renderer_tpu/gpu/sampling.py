@@ -337,11 +337,12 @@ def build_mip_atlas(tex, levels=None):
 # rebuilt per frame (~1 ms of bandwidth each).
 
 
-def window_pack(tex, wy, wx):
-    """[H,W,C] -> [H,W,wy*wx*C]; row (y,x) holds tex[y:y+wy, x:x+wx]
-    edge-clamped, channel layout (dy*wx+dx)*C + c."""
+def window_pack(tex, wy, wx, pad_mode="edge"):
+    """[H,W,C] -> [H,W,wy*wx*C]; row (y,x) holds tex[y:y+wy, x:x+wx],
+    channel layout (dy*wx+dx)*C + c.  pad_mode 'edge' = clamp addressing,
+    'wrap' = repeat addressing (exact for tiled material textures)."""
     h, w, c = tex.shape
-    p = jnp.pad(tex, ((0, wy - 1), (0, wx - 1), (0, 0)), mode="edge")
+    p = jnp.pad(tex, ((0, wy - 1), (0, wx - 1), (0, 0)), mode=pad_mode)
     return jnp.concatenate(
         [p[dy : dy + h, dx : dx + w] for dy in range(wy) for dx in range(wx)],
         axis=-1,
@@ -489,7 +490,7 @@ def build_mip_atlas_window(tex, levels=None):
     """Mip atlas whose texels carry their 2x2 bilinear window (4C channels):
     dynamic-LOD material sampling drops from 8 gather rows to 2.  Each level
     is window-packed separately (windows never cross level boundaries);
-    wrap addressing degrades to clamp on each level's last row/column."""
+    windows wrap at level borders (exact for SAMPLER_LINEAR_WRAP tiling)."""
     h, w, c = tex.shape
     levels = levels or n_mip_levels(h, w)
     offs, wa = mip_offsets(h, w, levels)
@@ -497,7 +498,9 @@ def build_mip_atlas_window(tex, levels=None):
     cur = tex
     for k in range(levels):
         lh, lw = max(1, h >> k), max(1, w >> k)
-        atlas = atlas.at[:lh, offs[k] : offs[k] + lw].set(window_pack(cur, 2, 2))
+        atlas = atlas.at[:lh, offs[k] : offs[k] + lw].set(
+            window_pack(cur, 2, 2, pad_mode="wrap")
+        )
         if k + 1 < levels:
             cur = downsample2x(cur)
     return atlas
