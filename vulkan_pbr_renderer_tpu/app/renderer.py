@@ -40,6 +40,10 @@ class FrameState(NamedTuple):
     the reference's ping-pong RTs + persistent lightgrid (render.cpp:680-697)."""
 
     lightgrid: jnp.ndarray          # [D,D,D,4]
+    sun_depth: jnp.ndarray          # [S,S] cached sun shadow map (the scene is
+                                    # static, so it only changes with the sun —
+                                    # same reasoning as the reference's
+                                    # re-voxelize condition, render.cpp:1024)
     taa_history: jnp.ndarray        # [H,W,3] prev TAA output
     velocity_prev: jnp.ndarray      # [H,W,2]
     prev_pyramid: jnp.ndarray       # [H/2,Wa,3] prev bloom downscale atlas
@@ -84,6 +88,7 @@ def init_frame_state(cfg: RenderConfig) -> FrameState:
     offs, pwa = sampling.mip_offsets(ph, pw, cfg.bloom_pass_count)
     return FrameState(
         lightgrid=jnp.zeros((d, d, d, 4), jnp.float32),
+        sun_depth=jnp.ones((cfg.shadow_map_size,) * 2, jnp.float32),
         taa_history=jnp.zeros((h, w, 3), jnp.float32),
         velocity_prev=jnp.zeros((h, w, 2), jnp.float32),
         prev_pyramid=jnp.zeros((ph, pwa, 3), jnp.float32),
@@ -135,18 +140,23 @@ def render_frame(
     )
 
     # ---- pass 1: sun depth (render.cpp:999-1020) -------------------------
+    # the scene is static: re-raster the shadow map only when the sun moved
+    sun_changed = (frame_idx == 0) | jnp.any(sun_angle != state.sun_angle_prev)
     if cfg.enable_shadows:
-        _, sun_depth, _ = _rasterize(
-            scene, sun_from_world, cfg.shadow_map_size, cfg.shadow_map_size,
-            cull="none", backend=raster_backend,
-        )
-        sun_depth = jnp.where(jnp.isinf(sun_depth), 1.0, sun_depth)
+        def draw_sun(_):
+            _, sd, _ = _rasterize(
+                scene, sun_from_world, cfg.shadow_map_size, cfg.shadow_map_size,
+                cull="none", backend=raster_backend,
+            )
+            return jnp.where(jnp.isinf(sd), 1.0, sd)
+
+        sun_depth = jax.lax.cond(sun_changed, draw_sun, lambda s: s, state.sun_depth)
     else:
-        sun_depth = jnp.ones((cfg.shadow_map_size,) * 2, jnp.float32)
+        sun_depth = state.sun_depth
 
     # ---- pass 2: voxelize (cond; render.cpp:1022-1057) -------------------
     if cfg.enable_gi:
-        revox = (frame_idx == 0) | jnp.any(sun_angle != state.sun_angle_prev)
+        revox = sun_changed
 
         def do_voxelize(grid):
             return gi.voxelize_scene(
@@ -235,6 +245,7 @@ def render_frame(
 
     new_state = FrameState(
         lightgrid=lightgrid,
+        sun_depth=sun_depth,
         taa_history=taa_out,
         velocity_prev=gbuf.velocity,
         prev_pyramid=pyramid,
