@@ -28,10 +28,12 @@ def build_scene_by_name(name, detail=1.0, texture_size=256):
     from ..assets import MaterialDesc, build_scene, procedural, suntemple
 
     if name == "triangle":
-        # triangle.cpp parity: one RGB triangle; rendered unlit via emissive
+        # triangle.cpp parity spirit: an emissive quad; double-sided so the
+        # fixed back-face culling of the main pass cannot hide it
         part = procedural.make_plane((0, 2.0, 1.0), (2, 2), 1, 0)
-        part.normals *= -1
-        part.indices = part.indices[:, ::-1].copy()
+        part.normals = -part.normals
+        import numpy as np2
+        part.indices = np2.concatenate([part.indices, part.indices[:, ::-1]])
         mats = [MaterialDesc(emissive_factor=(0.1, 0.3, 0.8),
                              base_color_factor=(0, 0, 0, 1))]
         return build_scene([part], mats, texture_size=16)

@@ -29,6 +29,9 @@ def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256, y_origin=0):
     Returns (depth [H,W] f32 — +inf where empty, tri_id [H,W] i32 — -1 empty).
     Depth test: less (GPU_REVERSE_DEPTH disabled in the reference).
     """
+    # the scan body materializes [tri_chunk, H, W] temporaries — cap the chunk
+    # so peak memory stays ~1 GB even for a 2048^2 shadow viewport
+    tri_chunk = max(8, min(tri_chunk, (1 << 26) // max(1, height * width)))
     n = setup.adj.shape[0]
     pad = (-n) % tri_chunk
     if pad:
