@@ -97,10 +97,17 @@ def _down(x, k):
 
 
 def _up(x, h, w):
-    """Bilinear upsample [h/k,w/k,...] back to [h,w,...]."""
-    if x.shape[0] == h and x.shape[1] == w:
-        return x
-    return jax.image.resize(x, (h, w) + x.shape[2:], method="linear")
+    """Bilinear upsample [h/k,w/k,...] back to [h,w,...] — dense 2x phase
+    interleaves (jax.image.resize lowers to gathers on TPU); repeated for
+    power-of-two divisors."""
+    from .bloom import _up2
+
+    while x.shape[0] * 2 <= h and x.shape[1] * 2 <= w:
+        x = _up2(x if x.ndim == 3 else x[..., None])
+    x = x if x.ndim == 3 else x[..., None]
+    if x.shape[:2] != (h, w):
+        x = jax.image.resize(x, (h, w) + x.shape[2:], method="linear")
+    return x
 
 
 def lighting_pass(
