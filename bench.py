@@ -99,6 +99,8 @@ def main():
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(16.6 / ms, 4),
+        "mpix_per_s_shaded": round(cfg.width * cfg.height / ms / 1000.0, 2),
+        "tris": n_tris,
     }))
 
 
