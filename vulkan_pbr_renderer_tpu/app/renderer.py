@@ -98,7 +98,8 @@ def init_frame_state(cfg: RenderConfig) -> FrameState:
     )
 
 
-def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla"):
+def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla",
+               cfg=None):
     """Raster the scene: returns (TriSetup, depth, tri_id)."""
     clip = rsetup.transform_to_clip(scene.positions, mat, jitter)
     tri_clip = clip[scene.indices]
@@ -106,7 +107,12 @@ def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla
     if backend == "pallas":
         from ..raster import visibility
 
-        depth, tri = visibility.rasterize_vis_tiled(s, width, height)
+        kw = {}
+        if cfg is not None:
+            kw = dict(tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                      tile_capacity=cfg.tile_capacity, chunk=cfg.tri_chunk,
+                      pair_capacity=cfg.pair_capacity_factor * scene.num_tris)
+        depth, tri = visibility.rasterize_vis_tiled(s, width, height, **kw)
     else:
         depth, tri = xla_raster.rasterize_vis(s, width, height)
     return s, depth, tri
@@ -146,7 +152,7 @@ def render_frame(
         def draw_sun(_):
             _, sd, _ = _rasterize(
                 scene, sun_from_world, cfg.shadow_map_size, cfg.shadow_map_size,
-                cull="none", backend=raster_backend,
+                cull="none", backend=raster_backend, cfg=cfg,
             )
             return jnp.where(jnp.isinf(sd), 1.0, sd)
 
@@ -184,7 +190,7 @@ def render_frame(
     # ---- pass 4: geometry -> G-buffer (render.cpp:1074-1115) -------------
     s, depth, tri = _rasterize(
         scene, cam.clip_from_world, w, h, jitter=jitter, cull="back",
-        backend=raster_backend,
+        backend=raster_backend, cfg=cfg,
     )
     gbuf = gb.gbuffer_pass(
         scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,

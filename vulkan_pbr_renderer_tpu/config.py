@@ -33,7 +33,6 @@ class RenderConfig:
     sun_emission_scale: float = 25.0       # lighting_pass.glsl:616
     voxelize_sun_emission_scale: float = 5.0  # lightgrid_voxelize.glsl:102
     shadow_normal_offset: float = 0.1      # lighting_pass.glsl:596
-    pcf_taps: int = 4                      # rotated-grid PCF (lighting_pass.glsl:604-608)
 
     # --- lightgrid GI (render.cpp:7,678; lightgrid_sweep.glsl) ------------
     lightgrid_size: int = 128
@@ -68,7 +67,6 @@ class RenderConfig:
     # --- post stack -------------------------------------------------------
     bloom_pass_count: int = 6              # render.h:2
     bloom_strength: float = 0.06           # bloom_upsample.glsl:37
-    bloom_upsample_radius: float = 1.5     # bloom_upsample.glsl:26
     taa_blend: float = 0.05                # taa_resolve.glsl:246
     taa_catmull_history: bool = True       # 9-tap Catmull-Rom (taa_resolve.glsl:125);
                                            # False = single bilinear (4 vs 36 gathers)
@@ -92,9 +90,9 @@ class RenderConfig:
     # --- rasterizer (TPU-native; no reference equivalent) -----------------
     tile_h: int = 32                       # pixel tile: sublane-aligned
     tile_w: int = 128                      # pixel tile: lane-aligned
-    meshlet_size: int = 128                # triangles per meshlet
-    max_meshlets_per_tile: int = 256       # binning capacity per tile (padded)
+    tile_capacity: int = 4096              # max binned triangles per tile
     tri_chunk: int = 128                   # triangles rasterized per inner step
+    pair_capacity_factor: int = 4          # binning pair buffer = factor * tris
 
     # --- pass toggles -----------------------------------------------------
     enable_shadows: bool = True
@@ -105,9 +103,8 @@ class RenderConfig:
     enable_ibl: bool = True
     visualize_lightgrid: bool = False
 
-    # --- precision --------------------------------------------------------
-    # RTs the reference keeps at RGBA16F become bf16 on TPU (render.cpp:693-697)
-    hdr_dtype: str = "float32"
+    # (precision note: the reference keeps HDR RTs at RGBA16F; moving our
+    # dense intermediates to bf16 is on the round-2 roadmap)
 
     @property
     def aspect(self) -> float:

@@ -57,7 +57,7 @@ def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull, backen
     s = rsetup.setup_triangles(tri_clip, width, full_height, cull=cull)
     if backend == "pallas":
         d, t = visibility.rasterize_vis_tiled(
-            s, width, rows, tile_capacity=cfg.max_meshlets_per_tile * 16,
+            s, width, rows, tile_capacity=cfg.tile_capacity,
             y_origin=y_origin,
         )
     else:
