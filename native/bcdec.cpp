@@ -20,8 +20,11 @@ inline void expand565(uint16_t c, float* rgb) {
     rgb[2] = (c & 31) / 31.0f;
 }
 
-// decode one BC1 color block (8 bytes) into 16 RGBA floats at out[16][4]
-inline void decode_bc1_block(const uint8_t* b, float out[16][4]) {
+// decode one BC1 color block (8 bytes) into 16 RGBA floats at out[16][4].
+// four_color: BC3 color blocks always decode in 4-color mode (the c0<=c1
+// comparison is ignored per the BC3 spec — ADVICE.md r1).
+inline void decode_bc1_block(const uint8_t* b, float out[16][4],
+                             bool four_color = false) {
     uint16_t c0 = uint16_t(b[0] | (b[1] << 8));
     uint16_t c1 = uint16_t(b[2] | (b[3] << 8));
     uint32_t bits = uint32_t(b[4]) | (uint32_t(b[5]) << 8) |
@@ -30,7 +33,7 @@ inline void decode_bc1_block(const uint8_t* b, float out[16][4]) {
     expand565(c0, pal[0]);
     expand565(c1, pal[1]);
     pal[0][3] = pal[1][3] = 1.0f;
-    if (c0 > c1) {
+    if (c0 > c1 || four_color) {
         for (int k = 0; k < 3; k++) {
             pal[2][k] = (2.0f * pal[0][k] + pal[1][k]) / 3.0f;
             pal[3][k] = (pal[0][k] + 2.0f * pal[1][k]) / 3.0f;
@@ -109,7 +112,7 @@ void bcdec_bc3(const uint8_t* src, float* out, int w, int h) {
             float a[16];
             float texels[16][4];
             decode_bc4_block(blk, a);
-            decode_bc1_block(blk + 8, texels);
+            decode_bc1_block(blk + 8, texels, /*four_color=*/true);
             for (int t = 0; t < 16; t++) texels[t][3] = a[t];
             scatter_block(out, w, h, bx, by, &texels[0][0], 4, 4);
         }

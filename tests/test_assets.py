@@ -156,3 +156,21 @@ def test_suntemple_watertight_walls():
         d, t = rr.rasterize_vis(s, 96, 64)
         cov = float((np.asarray(t) >= 0).mean())
         assert cov > 0.65, (tgt, cov)  # walls present (ceiling gaps allowed)
+
+def test_bc3_color_block_always_four_color():
+    # BC3 spec: the color block ignores the c0<=c1 comparison and always
+    # decodes in 4-color mode (ADVICE.md r1).  Build a BC3 block whose color
+    # part has c0 < c1 and all selectors = 3: must be (c0+2*c1)/3, not black.
+    alpha = bytes([255, 255] + [0] * 6)                  # constant alpha
+    color = struct.pack("<HH", 0x001F, 0xF800) + bytes([0xFF] * 4)  # sel=3
+    out = dds.decode_bc3(alpha + color, 4, 4)
+    expect = (np.array([0, 0, 1.0]) + 2 * np.array([1.0, 0, 0])) / 3
+    np.testing.assert_allclose(out[0, 0, :3], expect, atol=1e-6)
+    got = native_bcdec.decode("BC3", alpha + color, 4, 4)
+    if got is not None:
+        np.testing.assert_allclose(got[0, 0, :3], expect, atol=1e-6)
+
+
+def test_native_decode_rejects_truncated_buffer():
+    raw = _synthetic_bc16(4, 4, 5)
+    assert native_bcdec.decode("BC3", raw[: len(raw) // 2], 16, 16) is None

@@ -98,3 +98,48 @@ def test_binning_segments_consistent():
     valid_ids = set(np.nonzero(np.asarray(s.valid))[0].tolist())
     binned = set(ids[:total].tolist())
     assert valid_ids == binned
+
+
+def test_overflow_counters_surface_dropped_triangles():
+    # ADVICE.md r1 (high): capacity overflow must be detectable.  5 tris in
+    # one tile with tile_capacity=4 (chunk must divide capacity; use chunk=4):
+    # max_segment reports 5 > 4.
+    clip = _random_tris(5, seed=7)
+    clip = clip.at[:, :, :2].multiply(0.1)  # all in one tile
+    s = rs.setup_triangles(clip, 128, 32, cull="none")
+    d, t, ovf = visibility.rasterize_vis_tiled(
+        s, 128, 32, tile_capacity=4, chunk=4, return_overflow=True
+    )
+    max_seg, total = (int(x) for x in np.asarray(ovf))
+    assert max_seg == 5 and max_seg > 4
+    # with ample capacity the same scene reports no overflow
+    _, _, ovf2 = visibility.rasterize_vis_tiled(
+        s, 128, 32, tile_capacity=256, return_overflow=True
+    )
+    assert int(np.asarray(ovf2)[0]) == 5 and int(np.asarray(ovf2)[0]) <= 256
+
+
+def test_renderer_check_overflow(tmp_path):
+    # end-to-end: render a frame through the pallas backend with tiny
+    # capacities and confirm the host-side check flags the drop
+    from vulkan_pbr_renderer_tpu.app.renderer import Renderer, make_camera
+    from vulkan_pbr_renderer_tpu.config import RenderConfig
+
+    mats = [MaterialDesc()]
+    parts = [procedural.make_uv_sphere((0, 0, 1), 1.0, 12, 24, 0)]
+    scene = build_scene(parts, mats, texture_size=16)
+    cfg = RenderConfig(
+        width=128, height=64, shadow_map_size=64, lightgrid_size=8,
+        prefiltered_env_size=16, prefiltered_env_min_size=8,
+        prefilter_samples=16, brdf_lut_size=16, brdf_lut_samples=16,
+        bloom_pass_count=2, gi_screen_trace_steps=2, gi_diffuse_steps=2,
+        gi_specular_steps=2, light_shaft_steps=2,
+        tile_capacity=128, tri_chunk=128,
+    )
+    r = Renderer(cfg, scene, use_cache=False, raster_backend="pallas")
+    cam = make_camera((0.0, -4.0, 1.0), (0.0, 0.0, 1.0), cfg)
+    r.render(cam)
+    ok, msg = r.check_overflow()
+    assert not ok and "overflow" in msg
+    with pytest.raises(RuntimeError):
+        r.check_overflow(strict=True)

@@ -128,6 +128,10 @@ def main(argv=None):
             imglib.write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np_img)
         print(f"frame {i}: {times[-1]*1000:.1f} ms")
 
+    ok, msg = r.check_overflow()
+    if not ok:
+        print(f"WARNING: {msg}")
+
     if args.bench and len(times) > 2:
         p50 = float(np.median(times[1:]) * 1000)
         print(json.dumps({

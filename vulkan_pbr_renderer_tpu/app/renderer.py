@@ -50,6 +50,11 @@ class FrameState(NamedTuple):
     clip_from_world_prev: jnp.ndarray  # [4,4]
     sun_angle_prev: jnp.ndarray     # [2]
     frame_idx: jnp.ndarray          # i32 scalar
+    raster_overflow: jnp.ndarray    # i32[2] running max of [max_tile_segment,
+                                    # total_pairs] across frames — nonzero
+                                    # excess over (tile_capacity,
+                                    # pair_capacity) means dropped triangles;
+                                    # host checks via Renderer.check_overflow
 
 
 class CameraState(NamedTuple):
@@ -95,12 +100,16 @@ def init_frame_state(cfg: RenderConfig) -> FrameState:
         clip_from_world_prev=jnp.eye(4, dtype=jnp.float32),
         sun_angle_prev=jnp.full((2,), jnp.inf, jnp.float32),
         frame_idx=jnp.int32(0),
+        raster_overflow=jnp.zeros((2,), jnp.int32),
     )
 
 
 def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla",
                cfg=None):
-    """Raster the scene: returns (TriSetup, depth, tri_id)."""
+    """Raster the scene: returns (TriSetup, depth, tri_id, overflow i32[2]).
+
+    overflow = [max_tile_segment, total_pairs] from binning (zeros on the
+    XLA path, which has no capacity limits)."""
     clip = rsetup.transform_to_clip(scene.positions, mat, jitter)
     tri_clip = clip[scene.indices]
     s = rsetup.setup_triangles(tri_clip, width, height, cull=cull)
@@ -112,10 +121,12 @@ def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla
             kw = dict(tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                       tile_capacity=cfg.tile_capacity, chunk=cfg.tri_chunk,
                       pair_capacity=cfg.pair_capacity_factor * scene.num_tris)
-        depth, tri = visibility.rasterize_vis_tiled(s, width, height, **kw)
+        depth, tri, ovf = visibility.rasterize_vis_tiled(
+            s, width, height, return_overflow=True, **kw)
     else:
         depth, tri = xla_raster.rasterize_vis(s, width, height)
-    return s, depth, tri
+        ovf = jnp.zeros((2,), jnp.int32)
+    return s, depth, tri, ovf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "raster_backend"), donate_argnames=("state",))
@@ -150,15 +161,18 @@ def render_frame(
     sun_changed = (frame_idx == 0) | jnp.any(sun_angle != state.sun_angle_prev)
     if cfg.enable_shadows:
         def draw_sun(_):
-            _, sd, _ = _rasterize(
+            _, sd, _, ovf = _rasterize(
                 scene, sun_from_world, cfg.shadow_map_size, cfg.shadow_map_size,
                 cull="none", backend=raster_backend, cfg=cfg,
             )
-            return jnp.where(jnp.isinf(sd), 1.0, sd)
+            return jnp.where(jnp.isinf(sd), 1.0, sd), ovf
 
-        sun_depth = jax.lax.cond(sun_changed, draw_sun, lambda s: s, state.sun_depth)
+        sun_depth, sun_ovf = jax.lax.cond(
+            sun_changed, draw_sun,
+            lambda s: (s, jnp.zeros((2,), jnp.int32)), state.sun_depth)
     else:
         sun_depth = state.sun_depth
+        sun_ovf = jnp.zeros((2,), jnp.int32)
 
     # ---- pass 2: voxelize (cond; render.cpp:1022-1057) -------------------
     if cfg.enable_gi:
@@ -188,7 +202,7 @@ def render_frame(
         lightgrid = state.lightgrid
 
     # ---- pass 4: geometry -> G-buffer (render.cpp:1074-1115) -------------
-    s, depth, tri = _rasterize(
+    s, depth, tri, main_ovf = _rasterize(
         scene, cam.clip_from_world, w, h, jitter=jitter, cull="back",
         backend=raster_backend, cfg=cfg,
     )
@@ -258,6 +272,9 @@ def render_frame(
         clip_from_world_prev=cam.clip_from_world,
         sun_angle_prev=jnp.asarray(sun_angle, jnp.float32),
         frame_idx=frame_idx + 1,
+        raster_overflow=jnp.maximum(
+            state.raster_overflow, jnp.maximum(sun_ovf, main_ovf)
+        ),
     )
     return new_state, final
 
@@ -284,30 +301,26 @@ class Renderer:
         env_atlas = sampling.build_cube_mip_atlas(env)
         self.env_base = env.shape[1]
 
-        if cfg.enable_ibl or True:  # sky fallback always needs the env atlas
-            self.prefiltered_env = bake_cache.cached_bake(
-                "prefiltered_env",
-                lambda: ibl.bake_prefiltered_env(
-                    env_atlas, self.env_base, cfg.prefiltered_env_size,
-                    cfg.prefiltered_env_min_size, cfg.prefilter_samples,
-                ),
-                env, cfg.prefiltered_env_size, cfg.prefilter_samples,
-                enabled=use_cache,
-            )
-            self.brdf_lut = bake_cache.cached_bake(
-                "brdf_lut",
-                lambda: ibl.bake_brdf_lut(cfg.brdf_lut_size, cfg.brdf_lut_samples),
-                cfg.brdf_lut_size, cfg.brdf_lut_samples,
-                enabled=use_cache,
-            )
-            self.irradiance = bake_cache.cached_bake(
-                "irradiance",
-                lambda: ibl.bake_irradiance(
-                    env_atlas, self.env_base, cfg.irradiance_size, cfg.irradiance_samples
-                ),
-                env, cfg.irradiance_size, cfg.irradiance_samples,
-                enabled=use_cache,
-            )
+        # Baked even when IBL is disabled: the sky fallback always samples the
+        # prefiltered env atlas.  The irradiance map is deliberately NOT baked
+        # here — the reference also leaves it unused (lighting_pass.glsl:689-691
+        # is commented out); bake/ibl.bake_irradiance exists for parity and is
+        # covered by tests/test_bake.py.
+        self.prefiltered_env = bake_cache.cached_bake(
+            "prefiltered_env",
+            lambda: ibl.bake_prefiltered_env(
+                env_atlas, self.env_base, cfg.prefiltered_env_size,
+                cfg.prefiltered_env_min_size, cfg.prefilter_samples,
+            ),
+            env, cfg.prefiltered_env_size, cfg.prefilter_samples,
+            enabled=use_cache,
+        )
+        self.brdf_lut = bake_cache.cached_bake(
+            "brdf_lut",
+            lambda: ibl.bake_brdf_lut(cfg.brdf_lut_size, cfg.brdf_lut_samples),
+            cfg.brdf_lut_size, cfg.brdf_lut_samples,
+            enabled=use_cache,
+        )
         self.state = init_frame_state(cfg)
 
     def render(self, cam: CameraState, sun_angle=(50.0, 30.0)):
@@ -317,3 +330,31 @@ class Renderer:
             self.prefiltered_env, self.brdf_lut, self.cfg, self.raster_backend,
         )
         return img
+
+    def check_overflow(self, strict=False):
+        """Verify no frame so far exceeded raster bin capacities (which would
+        silently drop triangles — ADVICE.md r1 high).  Host-sync: fetches one
+        tiny scalar pair, so call after a batch of frames, not per frame
+        (the tunnel costs ~25 ms per host call).  Returns (ok, message)."""
+        if self.raster_backend != "pallas":
+            return True, "xla raster path has no capacity limits"
+        max_seg, total = (int(x) for x in np.asarray(self.state.raster_overflow))
+        pair_cap = self.cfg.pair_capacity_factor * self.scene.num_tris
+        msgs = []
+        if max_seg > self.cfg.tile_capacity:
+            msgs.append(
+                f"tile segment {max_seg} > tile_capacity {self.cfg.tile_capacity}"
+            )
+        if total > pair_cap:
+            msgs.append(f"pair count {total} > pair_capacity {pair_cap}")
+        if msgs:
+            msg = "raster bin overflow (triangles dropped): " + "; ".join(msgs) + (
+                " — raise cfg.tile_capacity / cfg.pair_capacity_factor and re-render"
+            )
+            if strict:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg)
+            return False, msg
+        return True, f"ok (max segment {max_seg}, pairs {total})"

@@ -48,8 +48,11 @@ def _expand565(c):
     return np.stack([r, g, b], -1)
 
 
-def decode_bc1(raw, w, h):
-    """BC1: [n_blocks * 8 bytes] -> [H,W,4] float; 1-bit alpha supported."""
+def decode_bc1(raw, w, h, force_four_color=False):
+    """BC1: [n_blocks * 8 bytes] -> [H,W,4] float; 1-bit alpha supported.
+
+    force_four_color: BC3's color block is always decoded in 4-color mode —
+    the c0<=c1 comparison is ignored per the BC3 spec (ADVICE.md r1)."""
     bw, bh = (w + 3) // 4, (h + 3) // 4
     blocks = np.frombuffer(raw, np.uint8, bw * bh * 8).reshape(-1, 8)
     c0 = blocks[:, 0].astype(np.uint32) | (blocks[:, 1].astype(np.uint32) << 8)
@@ -62,7 +65,7 @@ def decode_bc1(raw, w, h):
     )
     p0 = _expand565(c0)
     p1 = _expand565(c1)
-    opaque = c0 > c1
+    opaque = (c0 > c1) | force_four_color
     # palette [n, 4, 3]
     p2 = np.where(opaque[:, None], (2 * p0 + p1) / 3, (p0 + p1) / 2)
     p3 = np.where(opaque[:, None], (p0 + 2 * p1) / 3, 0.0)
@@ -107,7 +110,8 @@ def decode_bc3(raw, w, h):
     bw, bh = (w + 3) // 4, (h + 3) // 4
     blocks = np.frombuffer(raw, np.uint8, bw * bh * 16).reshape(-1, 16)
     alpha = _decode_bc4_channel(blocks[:, :8])
-    rgb = decode_bc1(np.ascontiguousarray(blocks[:, 8:]).tobytes(), w, h)[..., :3]
+    rgb = decode_bc1(np.ascontiguousarray(blocks[:, 8:]).tobytes(), w, h,
+                     force_four_color=True)[..., :3]
     a = alpha.reshape(bh, bw, 4, 4).transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)[:h, :w]
     return np.concatenate([rgb, a[..., None]], -1)
 

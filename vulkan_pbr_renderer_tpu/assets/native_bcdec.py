@@ -54,6 +54,10 @@ def decode(fmt, raw, w, h):
     fn = {"BC1": lib.bcdec_bc1, "BC3": lib.bcdec_bc3, "BC5": lib.bcdec_bc5}[fmt]
     blocks = 8 if fmt == "BC1" else 16
     need = ((w + 3) // 4) * ((h + 3) // 4) * blocks
+    if len(raw) < need:
+        # truncated/malformed file: fall back to the numpy path, which raises
+        # a clear ValueError (the C decoder would read out of bounds)
+        return None
     buf = np.frombuffer(bytes(raw[:need]), np.uint8)
     out = np.zeros((h, w, nch), np.float32)
     fn(

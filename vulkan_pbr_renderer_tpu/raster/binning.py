@@ -41,6 +41,10 @@ class TileBins(NamedTuple):
     starts: jnp.ndarray      # [T+1] i32 pair-array segment starts per tile
     tiles_x: int
     tiles_y: int
+    max_segment: jnp.ndarray  # i32 scalar: longest per-tile pair run (for
+                              # tile_capacity overflow detection)
+    total_pairs: jnp.ndarray  # i32 scalar: true pair count before clipping
+                              # to pair_capacity (scatter drops the excess)
 
 
 def pack_tri_data(setup: TriSetup):
@@ -164,4 +168,6 @@ def bin_triangles(
         starts=starts,
         tiles_x=tiles_x,
         tiles_y=tiles_y,
+        max_segment=jnp.max(starts[1:] - starts[:-1]),
+        total_pairs=total,
     )

@@ -138,9 +138,17 @@ def rasterize_vis_tiled(
     pair_capacity=None,
     interpret=None,
     y_origin=0,
+    return_overflow=False,
 ):
     """Tiled rasterization of rows [y_origin, y_origin+height).
-    Returns (depth [H,W] — +inf empty, tri_id [H,W])."""
+    Returns (depth [H,W] — +inf empty, tri_id [H,W]).
+
+    With return_overflow=True also returns an i32[2] vector
+    [max_tile_segment, total_pairs]: if max_tile_segment > tile_capacity or
+    total_pairs > pair_capacity, triangles were silently dropped this frame
+    (the kernel processes tile_capacity//chunk chunks per tile and binning's
+    scatter drops out-of-bounds pairs) — the host must re-render with larger
+    capacities.  See ADVICE.md round-1 (high)."""
     if interpret is None:
         interpret = device.pallas_interpret()
     bins = bin_triangles(
@@ -191,4 +199,7 @@ def rasterize_vis_tiled(
     )(bins.starts, bins.pair_data)
     depth = jnp.where(depth >= FAR, jnp.inf, depth)
     tri = trif.astype(jnp.int32)
+    if return_overflow:
+        ovf = jnp.stack([bins.max_segment, bins.total_pairs])
+        return depth[:height, :width], tri[:height, :width], ovf
     return depth[:height, :width], tri[:height, :width]
