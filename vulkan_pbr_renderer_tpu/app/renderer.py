@@ -129,6 +129,100 @@ def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla
     return s, depth, tri, ovf
 
 
+class FrameInputs(NamedTuple):
+    """Per-frame derived scalars/matrices, shared by the single-chip frame and
+    the sharded frame (parallel/sharding.py) so the two paths cannot drift."""
+
+    jitter: jnp.ndarray
+    jitter_prev: jnp.ndarray
+    sun_from_world: jnp.ndarray
+    sun_dir: jnp.ndarray
+    old_clip_from_world: jnp.ndarray
+    sun_changed: jnp.ndarray
+
+
+def frame_inputs(state: FrameState, cam: CameraState, sun_angle, cfg) -> FrameInputs:
+    fidx_f = state.frame_idx.astype(jnp.float32)
+    sun_from_world, sun_dir = shadow.sun_matrices(
+        sun_angle[0], sun_angle[1], cfg.sun_half_size
+    )
+    return FrameInputs(
+        jitter=noiselib.taa_jitter(fidx_f, cfg.width, cfg.height),
+        jitter_prev=noiselib.taa_jitter(jnp.maximum(fidx_f - 1.0, 0.0),
+                                        cfg.width, cfg.height),
+        sun_from_world=sun_from_world,
+        sun_dir=sun_dir,
+        old_clip_from_world=jnp.where(
+            state.frame_idx == 0, cam.clip_from_world, state.clip_from_world_prev
+        ),
+        # the scene is static: re-raster shadow map / re-voxelize only when the
+        # sun moved (the reference's condition, render.cpp:1024)
+        sun_changed=(state.frame_idx == 0)
+        | jnp.any(sun_angle != state.sun_angle_prev),
+    )
+
+
+def sweep_rotated(lightgrid, frame_idx, cfg):
+    """Pass 3: lightgrid sweep, axis rotating per frame (render.cpp:1064-1069)."""
+    axis = frame_idx % 3
+    return jax.lax.switch(
+        axis,
+        [
+            lambda g: gi.sweep_lightgrid(g, 2, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
+            lambda g: gi.sweep_lightgrid(g, 1, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
+            lambda g: gi.sweep_lightgrid(g, 0, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
+        ],
+        lightgrid,
+    )
+
+
+def build_globals(cam: CameraState, fi: FrameInputs, frame_idx) -> "lighting.Globals":
+    """Per-frame uniform block for the lighting pass (render.h:122-136)."""
+    return lighting.Globals(
+        clip_from_world=cam.clip_from_world,
+        clip_from_view=cam.clip_from_view,
+        world_from_clip=cam.world_from_clip,
+        view_from_clip=cam.view_from_clip,
+        view_from_world=cam.view_from_world,
+        world_from_view=cam.world_from_view,
+        sun_from_world=fi.sun_from_world,
+        old_clip_from_world=fi.old_clip_from_world,
+        sun_direction=fi.sun_dir,
+        camera_pos=cam.position,
+        frame_idx_mod_59=(frame_idx % 59).astype(jnp.float32),
+        taa_jitter=fi.jitter,
+        taa_jitter_prev=fi.jitter_prev,
+    )
+
+
+def post_stack(hdr, depth, velocity, state: FrameState, cfg):
+    """Passes 6-9: TAA resolve, bloom down/up, tonemap (render.cpp:1129-1196).
+
+    Returns (final srgb image, taa_out, bloom pyramid atlas)."""
+    if cfg.enable_taa:
+        with jax.named_scope("p6_taa"):
+            history = jnp.where(state.frame_idx == 0, hdr, state.taa_history)
+            taa_out = taa.taa_resolve(
+                hdr, depth, velocity, state.velocity_prev, history,
+                cfg.taa_blend, cfg.taa_velocity_rejection,
+                catmull_history=cfg.taa_catmull_history,
+            )
+    else:
+        taa_out = hdr
+    if cfg.enable_bloom:
+        with jax.named_scope("p78_bloom"):
+            bloom_out, downs = bloom_mod.bloom_with_pyramid(
+                taa_out, cfg.bloom_pass_count, cfg.bloom_strength
+            )
+            pyramid = sampling.pack_mip_atlas(downs)
+    else:
+        bloom_out = taa_out
+        pyramid = state.prev_pyramid
+    with jax.named_scope("p9_tonemap"):
+        final = colorlib.gamma_encode(colorlib.aces_approx(cfg.exposure * bloom_out))
+    return final, taa_out, pyramid
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "raster_backend"), donate_argnames=("state",))
 def render_frame(
     scene,
@@ -143,22 +237,14 @@ def render_frame(
     """One full frame.  Returns (new_state, final_srgb_image [H,W,3])."""
     h, w = cfg.height, cfg.width
     frame_idx = state.frame_idx
-    fidx_f = frame_idx.astype(jnp.float32)
 
-    jitter = noiselib.taa_jitter(fidx_f, w, h)
-    jitter_prev = noiselib.taa_jitter(jnp.maximum(fidx_f - 1.0, 0.0), w, h)
-
-    sun_from_world, sun_dir = shadow.sun_matrices(
-        sun_angle[0], sun_angle[1], cfg.sun_half_size
-    )
-
-    old_clip_from_world = jnp.where(
-        frame_idx == 0, cam.clip_from_world, state.clip_from_world_prev
-    )
+    fi = frame_inputs(state, cam, sun_angle, cfg)
+    jitter = fi.jitter
+    sun_from_world, sun_dir = fi.sun_from_world, fi.sun_dir
+    old_clip_from_world = fi.old_clip_from_world
 
     # ---- pass 1: sun depth (render.cpp:999-1020) -------------------------
-    # the scene is static: re-raster the shadow map only when the sun moved
-    sun_changed = (frame_idx == 0) | jnp.any(sun_angle != state.sun_angle_prev)
+    sun_changed = fi.sun_changed
     if cfg.enable_shadows:
         def draw_sun(_):
             _, sd, _, ovf = _rasterize(
@@ -167,9 +253,10 @@ def render_frame(
             )
             return jnp.where(jnp.isinf(sd), 1.0, sd), ovf
 
-        sun_depth, sun_ovf = jax.lax.cond(
-            sun_changed, draw_sun,
-            lambda s: (s, jnp.zeros((2,), jnp.int32)), state.sun_depth)
+        with jax.named_scope("p1_sun_depth"):
+            sun_depth, sun_ovf = jax.lax.cond(
+                sun_changed, draw_sun,
+                lambda s: (s, jnp.zeros((2,), jnp.int32)), state.sun_depth)
     else:
         sun_depth = state.sun_depth
         sun_ovf = jnp.zeros((2,), jnp.int32)
@@ -185,48 +272,29 @@ def render_frame(
                 cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
             )
 
-        lightgrid = jax.lax.cond(revox, do_voxelize, lambda g: g, state.lightgrid)
+        with jax.named_scope("p2_voxelize"):
+            lightgrid = jax.lax.cond(revox, do_voxelize, lambda g: g, state.lightgrid)
 
         # ---- pass 3: sweep, axis rotates per frame (render.cpp:1064-1069)
-        axis = frame_idx % 3
-        lightgrid = jax.lax.switch(
-            axis,
-            [
-                lambda g: gi.sweep_lightgrid(g, 2, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
-                lambda g: gi.sweep_lightgrid(g, 1, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
-                lambda g: gi.sweep_lightgrid(g, 0, cfg.skylight, cfg.sweep_move_ratio, cfg.sweep_blend),
-            ],
-            lightgrid,
-        )
+        with jax.named_scope("p3_sweep"):
+            lightgrid = sweep_rotated(lightgrid, frame_idx, cfg)
     else:
         lightgrid = state.lightgrid
 
     # ---- pass 4: geometry -> G-buffer (render.cpp:1074-1115) -------------
-    s, depth, tri, main_ovf = _rasterize(
-        scene, cam.clip_from_world, w, h, jitter=jitter, cull="back",
-        backend=raster_backend, cfg=cfg,
-    )
-    gbuf = gb.gbuffer_pass(
-        scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
-        cam.clip_from_world, old_clip_from_world, cfg.alpha_test_threshold,
-    )
+    with jax.named_scope("p4_raster"):
+        s, depth, tri, main_ovf = _rasterize(
+            scene, cam.clip_from_world, w, h, jitter=jitter, cull="back",
+            backend=raster_backend, cfg=cfg,
+        )
+    with jax.named_scope("p4_gbuffer"):
+        gbuf = gb.gbuffer_pass(
+            scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
+            cam.clip_from_world, old_clip_from_world, cfg.alpha_test_threshold,
+        )
 
     # ---- pass 5: lighting ------------------------------------------------
-    glob = lighting.Globals(
-        clip_from_world=cam.clip_from_world,
-        clip_from_view=cam.clip_from_view,
-        world_from_clip=cam.world_from_clip,
-        view_from_clip=cam.view_from_clip,
-        view_from_world=cam.view_from_world,
-        world_from_view=cam.world_from_view,
-        sun_from_world=sun_from_world,
-        old_clip_from_world=old_clip_from_world,
-        sun_direction=sun_dir,
-        camera_pos=cam.position,
-        frame_idx_mod_59=(frame_idx % 59).astype(jnp.float32),
-        taa_jitter=jitter,
-        taa_jitter_prev=jitter_prev,
-    )
+    glob = build_globals(cam, fi, frame_idx)
     res = lighting.LightingResources(
         sun_depth=sun_depth,
         lightgrid=lightgrid,
@@ -234,34 +302,14 @@ def render_frame(
         brdf_lut=brdf_lut,
         prev_frame_atlas=state.prev_pyramid,
     )
-    if cfg.visualize_lightgrid:
-        hdr = lighting.visualize_lightgrid_pass(glob, res, cfg, w, h)
-    else:
-        hdr = lighting.lighting_pass(gbuf, glob, res, cfg)
+    with jax.named_scope("p5_lighting"):
+        if cfg.visualize_lightgrid:
+            hdr = lighting.visualize_lightgrid_pass(glob, res, cfg, w, h)
+        else:
+            hdr = lighting.lighting_pass(gbuf, glob, res, cfg)
 
-    # ---- pass 6: TAA resolve (render.cpp:1129-1139) ----------------------
-    if cfg.enable_taa:
-        history = jnp.where(frame_idx == 0, hdr, state.taa_history)
-        taa_out = taa.taa_resolve(
-            hdr, gbuf.depth, gbuf.velocity, state.velocity_prev, history,
-            cfg.taa_blend, cfg.taa_velocity_rejection,
-            catmull_history=cfg.taa_catmull_history,
-        )
-    else:
-        taa_out = hdr
-
-    # ---- passes 7-8: bloom (render.cpp:1142-1178) ------------------------
-    if cfg.enable_bloom:
-        bloom_out, downs = bloom_mod.bloom_with_pyramid(
-            taa_out, cfg.bloom_pass_count, cfg.bloom_strength
-        )
-        pyramid = sampling.pack_mip_atlas(downs)
-    else:
-        bloom_out = taa_out
-        pyramid = state.prev_pyramid
-
-    # ---- pass 9: tonemap (final_post_process.glsl:31-34) -----------------
-    final = colorlib.gamma_encode(colorlib.aces_approx(cfg.exposure * bloom_out))
+    # ---- passes 6-9: TAA, bloom, tonemap ---------------------------------
+    final, taa_out, pyramid = post_stack(hdr, gbuf.depth, gbuf.velocity, state, cfg)
 
     new_state = FrameState(
         lightgrid=lightgrid,

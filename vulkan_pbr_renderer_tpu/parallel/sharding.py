@@ -5,24 +5,33 @@ one Vulkan queue, no multi-device code).  This module is the new capability:
 the frame is laid out over a 2-D device mesh
 
   dp — data parallel over independent frames (camera-path batches: offline
-       rendering / bench sweeps are embarrassingly parallel)
+       rendering / bench sweeps are embarrassingly parallel; each dp slice
+       carries its OWN FrameState so temporal effects evolve per path)
   sp — "spatial parallel": framebuffer rows sharded across chips
 
 Inside one frame (per dp slice), each sp shard:
   1. rasterizes its rows of the sun shadow map; all_gather -> full map
      (every shard needs arbitrary shadow lookups)
-  2. voxelizes a 1/sp slice of the GI surface samples; the partial radiance
-     grids combine with an elementwise pmax (matching the scatter-max write)
-  3. sweeps the (replicated, 16 MiB) lightgrid locally — cheaper than
-     communicating it
+  2. voxelizes a 1/sp slice of the SAME GI sample stream; the partial
+     radiance grids combine with pmax — scatter-max is order-independent,
+     so the combined grid EXACTLY matches the single-chip voxelization
+  3. sweeps the (replicated) lightgrid locally — cheaper than communicating
   4. rasterizes + G-buffers + lights its own rows (the heavy per-pixel work;
      the GI screen-space trace reads the all_gathered full depth)
-  5. all_gathers the HDR rows; TAA/bloom/tonemap run replicated (their
-     cost is a few % of the frame; sharding them needs halo exchanges —
-     future work)
+  5. all_gathers the HDR/velocity rows; TAA/bloom/tonemap run replicated
+     (their cost is a few % of the frame; sharding them needs halo exchanges)
 
 Collectives ride ICI (all_gather/pmax over 'sp').  Temporal state is carried
-replicated.
+replicated within a dp slice and the step returns the full new FrameState, so
+a multi-frame loop works exactly like the single-chip `render_frame` loop —
+**sharding is invisible**: with matching config the sharded image equals the
+single-chip `render_frame` image (pinned by tests/test_parallel.py).
+
+The single caveat: the reduced-resolution GI/shaft upsampling of the
+single-chip config would clamp at shard row edges and seam, so this path
+forces gi_res_divisor = shaft_res_divisor = 1 (full-res GI/shafts — with the
+work spread over chips there is no need for the reduced-res trade anyway).
+Parity therefore holds vs. `render_frame` under the same divisor-1 config.
 """
 
 from __future__ import annotations
@@ -32,13 +41,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..app import renderer as rmod
 from ..config import RenderConfig
 from ..raster import setup as rsetup
 from ..raster import visibility, xla_raster
-from ..shade import bloom as bloom_mod
 from ..shade import gbuffer as gb
-from ..shade import gi, lighting, shadow
-from ..utils import color as colorlib
+from ..shade import gi, lighting
 
 
 def make_mesh(n_devices=None, dp=1):
@@ -49,123 +57,180 @@ def make_mesh(n_devices=None, dp=1):
     return Mesh(arr, ("dp", "sp"))
 
 
-def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull, backend, cfg):
-    clip = rsetup.transform_to_clip(scene.positions, mat)
+def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull,
+                    backend, cfg, jitter=None):
+    """Raster rows [y_origin, y_origin+rows) of a full_height-tall viewport.
+    Returns (TriSetup, depth, tri_id, overflow i32[2])."""
+    clip = rsetup.transform_to_clip(scene.positions, mat, jitter)
     tri_clip = clip[scene.indices]
     # NOTE: setup maps NDC to pixels with the FULL viewport height; the shard
     # then rasterizes only its [y_origin, y_origin+rows) slice
     s = rsetup.setup_triangles(tri_clip, width, full_height, cull=cull)
     if backend == "pallas":
-        d, t = visibility.rasterize_vis_tiled(
+        d, t, ovf = visibility.rasterize_vis_tiled(
             s, width, rows, tile_capacity=cfg.tile_capacity,
-            y_origin=y_origin,
+            y_origin=y_origin, return_overflow=True,
         )
     else:
         d, t = xla_raster.rasterize_vis(s, width, rows, y_origin=y_origin)
-    return s, d, t
+        ovf = jnp.zeros((2,), jnp.int32)
+    return s, d, t, ovf
 
 
 def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla"):
-    """Builds the jitted sharded step.
+    """Builds the jitted sharded step — the multi-chip `render_frame`.
 
-    step(cams_batch [dp-sharded pytree], state-lite, sun_angle,
-         prefiltered_env, brdf_lut) -> final images [dp, H, W, 3].
+    step(states [dp-stacked FrameState], cams [dp-stacked CameraState tuple],
+         sun_angle [2], prefiltered_env, brdf_lut)
+      -> (new states [dp-stacked], final images [dp, H, W, 3])
+
+    Mirrors app.renderer.render_frame pass for pass (the single-queue frame,
+    render.cpp:954-1196) via the shared frame_inputs/build_globals/post_stack
+    helpers; see module docstring for what is sharded vs replicated.
     """
     sp = mesh.shape["sp"]
     # reduced-res GI/shaft upsampling would clamp at shard edges and seam;
     # with the work already spread over chips, run those passes at full res
     cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1)
     h, w = cfg.height, cfg.width
-    assert h % (sp * 32) == 0, "height must be divisible by sp*tile_h"
+    if raster_backend == "pallas":
+        assert h % (sp * 32) == 0, "height must be divisible by sp*tile_h"
+    else:
+        assert h % sp == 0, "height must be divisible by sp"
     rows = h // sp
+    sm = cfg.shadow_map_size
+    assert sm % sp == 0, "shadow_map_size must be divisible by sp"
+    sm_rows = sm // sp
 
-    def per_frame(cam_tuple, lightgrid, prev_pyramid, sun_angle, pre_env, lut):
+    def per_frame(state: rmod.FrameState, cam: rmod.CameraState, sun_angle,
+                  pre_env, lut):
         """Runs inside shard_map for one dp slice; sp = row sharding."""
-        (cfw, cfv, wfc, vfc, vfw, wfv, cam_pos) = cam_tuple
+        frame_idx = state.frame_idx
         sp_idx = jax.lax.axis_index("sp")
         y0 = sp_idx * rows
 
-        sun_from_world, sun_dir = shadow.sun_matrices(
-            sun_angle[0], sun_angle[1], cfg.sun_half_size
-        )
+        fi = rmod.frame_inputs(state, cam, sun_angle, cfg)
 
-        # 1. sun depth: shard shadow-map rows, gather
-        sm = cfg.shadow_map_size
-        sm_rows = sm // sp
-        _, sd_rows, _ = _rasterize_rows(
-            scene, sun_from_world, sm, sm, sm_rows, sp_idx * sm_rows, "none",
-            raster_backend, cfg,
-        )
-        sd_rows = jnp.where(jnp.isinf(sd_rows), 1.0, sd_rows)
-        sun_depth = jax.lax.all_gather(sd_rows, "sp", axis=0, tiled=True)
+        # ---- pass 1: sun depth — shard shadow-map rows, gather -----------
+        if cfg.enable_shadows:
+            def draw_sun(_):
+                _, sd, _, ovf = _rasterize_rows(
+                    scene, fi.sun_from_world, sm, sm, sm_rows,
+                    sp_idx * sm_rows, "none", raster_backend, cfg,
+                )
+                return jnp.where(jnp.isinf(sd), 1.0, sd), ovf
 
-        # 2. voxelize a slice of the samples; combine with pmax
-        if cfg.enable_gi:
-            part = gi.voxelize_scene(
-                scene, cfg.lightgrid_size, cfg.lightgrid_scale, sun_depth,
-                sun_from_world, sun_dir,
-                cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
-                total_samples=(1 << 18) // sp,
-                sample_offset=sp_idx,
-            )
-            grid = jax.lax.pmax(part, "sp")
-            # 3. sweep locally (replicated math)
-            grid = gi.sweep_lightgrid(grid, 2, cfg.skylight,
-                                      cfg.sweep_move_ratio, cfg.sweep_blend)
+            def cached_sun(_):
+                sd = jax.lax.dynamic_slice_in_dim(
+                    state.sun_depth, sp_idx * sm_rows, sm_rows, 0
+                )
+                return sd, jnp.zeros((2,), jnp.int32)
+
+            sd_rows, sun_ovf = jax.lax.cond(fi.sun_changed, draw_sun,
+                                            cached_sun, None)
+            # collective outside the cond: every shard takes the same branch
+            # (sun_changed is replicated) but keep the gather unconditional
+            sun_depth = jax.lax.all_gather(sd_rows, "sp", axis=0, tiled=True)
         else:
-            grid = lightgrid
+            sun_depth = state.sun_depth
+            sun_ovf = jnp.zeros((2,), jnp.int32)
 
-        # 4. raster + gbuffer + lighting for my rows
-        s, depth, tri = _rasterize_rows(
-            scene, cfw, w, h, rows, y0, "back", raster_backend, cfg
+        # ---- pass 2: voxelize (cond) — exact sample-stream split ---------
+        if cfg.enable_gi:
+            def do_voxelize(_):
+                return gi.voxelize_scene(
+                    scene, cfg.lightgrid_size, cfg.lightgrid_scale, sun_depth,
+                    fi.sun_from_world, fi.sun_dir,
+                    cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
+                    shard_idx=sp_idx, shard_count=sp,
+                )
+
+            part = jax.lax.cond(
+                fi.sun_changed, do_voxelize,
+                lambda _: jnp.zeros((cfg.lightgrid_size,) * 3 + (4,), jnp.float32),
+                None,
+            )
+            full = jax.lax.pmax(part, "sp")
+            lightgrid = jnp.where(fi.sun_changed, full, state.lightgrid)
+            # ---- pass 3: sweep (replicated math), axis rotates per frame -
+            lightgrid = rmod.sweep_rotated(lightgrid, frame_idx, cfg)
+        else:
+            lightgrid = state.lightgrid
+
+        # ---- pass 4: raster + G-buffer for my rows -----------------------
+        s, depth, tri, main_ovf = _rasterize_rows(
+            scene, cam.clip_from_world, w, h, rows, y0, "back",
+            raster_backend, cfg, jitter=fi.jitter,
         )
         gbuf = gb.gbuffer_pass(
-            scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri, cfw, cfw,
+            scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
+            cam.clip_from_world, fi.old_clip_from_world,
             cfg.alpha_test_threshold, row_offset=y0,
         )
         depth_full = jax.lax.all_gather(gbuf.depth, "sp", axis=0, tiled=True)
 
-        glob = lighting.Globals(
-            clip_from_world=cfw, clip_from_view=cfv, world_from_clip=wfc,
-            view_from_clip=vfc, view_from_world=vfw, world_from_view=wfv,
-            sun_from_world=sun_from_world, old_clip_from_world=cfw,
-            sun_direction=sun_dir, camera_pos=cam_pos,
-            frame_idx_mod_59=jnp.float32(0.0),
-            taa_jitter=jnp.zeros(2), taa_jitter_prev=jnp.zeros(2),
-        )
+        # ---- pass 5: lighting for my rows --------------------------------
+        glob = rmod.build_globals(cam, fi, frame_idx)
         res = lighting.LightingResources(
-            sun_depth=sun_depth, lightgrid=grid, prefiltered_env=pre_env,
-            brdf_lut=lut, prev_frame_atlas=prev_pyramid,
+            sun_depth=sun_depth, lightgrid=lightgrid, prefiltered_env=pre_env,
+            brdf_lut=lut, prev_frame_atlas=state.prev_pyramid,
         )
         hdr_rows = lighting.lighting_pass(
             gbuf, glob, res, cfg, row_offset=y0, full_height=h,
             depth_full=depth_full,
         )
 
-        # 5. gather HDR; replicated post stack
+        # ---- gather HDR + velocity; passes 6-9 run replicated ------------
         hdr = jax.lax.all_gather(hdr_rows, "sp", axis=0, tiled=True)
-        if cfg.enable_bloom:
-            hdr, _ = bloom_mod.bloom_with_pyramid(
-                hdr, cfg.bloom_pass_count, cfg.bloom_strength
-            )
-        return colorlib.gamma_encode(colorlib.aces_approx(cfg.exposure * hdr))
+        velocity = jax.lax.all_gather(gbuf.velocity, "sp", axis=0, tiled=True)
+        final, taa_out, pyramid = rmod.post_stack(
+            hdr, depth_full, velocity, state, cfg
+        )
 
-    def step(cams, lightgrid, prev_pyramid, sun_angle, pre_env, lut):
-        """cams: pytree of [dp, ...] camera matrices."""
+        new_state = rmod.FrameState(
+            lightgrid=lightgrid,
+            sun_depth=sun_depth,
+            taa_history=taa_out,
+            velocity_prev=velocity,
+            prev_pyramid=pyramid,
+            clip_from_world_prev=cam.clip_from_world,
+            sun_angle_prev=jnp.asarray(sun_angle, jnp.float32),
+            frame_idx=frame_idx + 1,
+            raster_overflow=jnp.maximum(
+                state.raster_overflow,
+                jax.lax.pmax(jnp.maximum(sun_ovf, main_ovf), "sp"),
+            ),
+        )
+        return new_state, final
 
-        def shard_fn(cams_l, lightgrid_l, pyramid_l, sun_l, pre_l, lut_l):
-            out = per_frame(
-                tuple(x[0] for x in cams_l), lightgrid_l, pyramid_l,
-                sun_l, pre_l, lut_l,
-            )
-            return out[None]
+    def step(states, cams, sun_angle, pre_env, lut):
+        """states/cams: pytrees with a leading [dp] axis on every leaf."""
+
+        def shard_fn(state_l, cams_l, sun_l, pre_l, lut_l):
+            state = jax.tree.map(lambda x: x[0], state_l)
+            cam = rmod.CameraState(*(x[0] for x in cams_l))
+            new_state, img = per_frame(state, cam, sun_l, pre_l, lut_l)
+            return jax.tree.map(lambda x: x[None], new_state), img[None]
 
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P("dp"), P(), P(), P(), P(), P()),
-            out_specs=P("dp"),
+            in_specs=(P("dp"), P("dp"), P(), P(), P()),
+            out_specs=(P("dp"), P("dp")),
             check_vma=False,
-        )(cams, lightgrid, prev_pyramid, sun_angle, pre_env, lut)
+        )(states, tuple(cams), sun_angle, pre_env, lut)
 
     return jax.jit(step)
+
+
+def stack_states(states):
+    """Stack per-dp-slice FrameStates into the [dp, ...] pytree `step` takes."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def stack_cams(cams):
+    """Stack CameraStates into the [dp, ...] tuple `step` takes."""
+    return tuple(
+        jnp.stack([np.asarray(getattr(c, f)) for c in cams])
+        for f in rmod.CameraState._fields
+    )

@@ -96,12 +96,20 @@ def voxelize_scene(
     total_samples=1 << 20,
     texture_lod=4.0,
     sample_offset=0,
+    shard_idx=None,
+    shard_count=1,
 ):
     """Build the [D,D,D,4] radiance grid from sun-lit surface samples.
 
     Per-sample radiance matches lightgrid_voxelize.glsl:100-129: emissive +
     shadow * base_color * LdotN * sun_emission, 1-tap PCF with z-bias 0.001,
     alpha = 1.  Point density is proportional to triangle area in voxel units.
+
+    Multi-chip: pass (shard_idx, shard_count) to process only samples
+    [shard_idx*S, (shard_idx+1)*S) of the SAME sample stream (S = total/count).
+    The per-shard partial grids combine with an elementwise max (scatter-max is
+    order-independent), so pmax over shards reproduces the single-chip grid
+    EXACTLY — the parity contract tested in tests/test_parallel.py.
     """
     tri = scene.positions[scene.indices]            # [T,3,3]
     e1 = tri[:, 1] - tri[:, 0]
@@ -131,6 +139,15 @@ def voxelize_scene(
         jax.lax.cummax(jnp.full((total_samples,), -1, jnp.int32).at[scat].max(offsets)),
         0,
     )
+    if shard_count > 1:
+        # the cheap int fills above run over the full stream on every shard;
+        # the expensive per-sample work below runs on this shard's slice only
+        assert total_samples % shard_count == 0
+        s_len = total_samples // shard_count
+        start = jnp.asarray(shard_idx, jnp.int32) * s_len
+        pid = jax.lax.dynamic_slice_in_dim(pid, start, s_len)
+        tri_of = jax.lax.dynamic_slice_in_dim(tri_of, start, s_len)
+        run_start = jax.lax.dynamic_slice_in_dim(run_start, start, s_len)
     local = pid - run_start
     in_range = pid < total
 

@@ -264,9 +264,12 @@ def lighting_pass(
     outgoing = outgoing + emissive
 
     # --- sky fallback (glsl:708-710) --------------------------------------
+    # Sampled at mip 0 (the roughness-0 prefilter level == the raw env map):
+    # the reference draws the skybox geometry with the full-res env texture
+    # (render.cpp:1103-1115), so the sky must be crisp, not a blurred mip.
     out_of_bounds = jnp.any(jnp.abs(p_world) > cfg.world_bounds, axis=-1) | ~g.coverage
     env_size = res.prefiltered_env.shape[1]
-    sky = sampling.sample_cubemap_level(res.prefiltered_env, env_size, -v, 1)
+    sky = sampling.sample_cubemap_level(res.prefiltered_env, env_size, -v, 0)
     outgoing = jnp.where(out_of_bounds[..., None], sky, outgoing)
 
     return jnp.maximum(outgoing, 0.0)
