@@ -94,14 +94,37 @@ def main():
         float(means[-1])
     ms = (time.perf_counter() - t0) / (reps * frames) * 1000.0
 
-    print(json.dumps({
+    out = {
         "metric": "suntemple_1080p_frame_ms",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(16.6 / ms, 4),
         "mpix_per_s_shaded": round(cfg.width * cfg.height / ms / 1000.0, 2),
         "tris": n_tris,
-    }))
+    }
+
+    if os.environ.get("BENCH_SSIM", "1") == "1":
+        # fidelity of the TPU-fast GI vs the reference-parity hybrid march
+        # (VERDICT r1 #6): matched frames at half res (bounds the extra
+        # reference-GI compile), SSIM over the final sRGB images.
+        from vulkan_pbr_renderer_tpu.utils.image import ssim
+        import numpy as np
+
+        qcfg = cfg.replace(width=cfg.width // 2, height=cfg.height // 2 // 32 * 32)
+        cam_q = make_camera(*suntemple.camera_path(0.3), qcfg)
+        imgs = {}
+        for mode in ("fast", "reference"):
+            rq = Renderer(qcfg.replace(gi_mode=mode), scene,
+                          raster_backend=backend)
+            img = None
+            for k in range(3):  # settle GI sweep + TAA
+                img = rq.render(cam_q, sun_angle=(35.0 + 0.001 * k, 80.0))
+            imgs[mode] = np.asarray(img)
+        out["gi_fast_ssim_vs_reference"] = round(
+            float(ssim(imgs["fast"], imgs["reference"])), 4
+        )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

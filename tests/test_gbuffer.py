@@ -40,14 +40,17 @@ def test_cube_gbuffer_front_face():
     cy, cx = H // 2, W // 2
     assert g.coverage[cy, cx]
     # front face of the cube faces -Y toward the camera
-    np.testing.assert_allclose(g.normal[cy, cx], [0, -1, 0], atol=1e-3)
+    # atol 6e-3: the uint8 material atlas quantizes the flat normal (0.5 is
+    # not representable in UNORM8 — 127/255 -> 1/255 tilt), exactly like the
+    # reference's 8-bit TGA normal maps
+    np.testing.assert_allclose(g.normal[cy, cx], [0, -1, 0], atol=6e-3)
     # static scene + same matrices -> zero velocity
     np.testing.assert_allclose(g.velocity[cy, cx], 0.0, atol=1e-6)
     # checker texture: red or blue (sRGB->linear applied)
     c = g.base_color[cy, cx]
     assert (c[0] > 0.5 and c[2] < 0.1) or (c[2] > 0.5 and c[0] < 0.1)
     # roughness from orm_factor
-    assert abs(g.orm[cy, cx][1] - 0.5) < 1e-4
+    assert abs(g.orm[cy, cx][1] - 0.5) < 3e-3  # UNORM8 quantization step
     # background pixel
     assert not g.coverage[2, 2]
     assert g.depth[2, 2] == 1.0

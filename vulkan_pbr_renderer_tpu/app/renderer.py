@@ -114,15 +114,25 @@ def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla
     tri_clip = clip[scene.indices]
     s = rsetup.setup_triangles(tri_clip, width, height, cull=cull)
     if backend == "pallas":
-        from ..raster import visibility
+        if cfg is None or cfg.raster_kernel == "folded":
+            from ..raster import visibility_v2
 
-        kw = {}
-        if cfg is not None:
-            kw = dict(tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                      tile_capacity=cfg.tile_capacity, chunk=cfg.tri_chunk,
-                      pair_capacity=cfg.pair_capacity_factor * scene.num_tris)
-        depth, tri, ovf = visibility.rasterize_vis_tiled(
-            s, width, height, return_overflow=True, **kw)
+            kw = {}
+            if cfg is not None:
+                kw = dict(tile=cfg.folded_tile, chunk=cfg.tri_chunk,
+                          pair_capacity=cfg.pair_capacity_factor * scene.num_tris)
+            depth, tri, ovf = visibility_v2.rasterize_vis_folded(
+                s, width, height, return_overflow=True, **kw)
+        else:
+            from ..raster import visibility
+
+            kw = {}
+            if cfg is not None:
+                kw = dict(tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                          tile_capacity=cfg.tile_capacity, chunk=cfg.tri_chunk,
+                          pair_capacity=cfg.pair_capacity_factor * scene.num_tris)
+            depth, tri, ovf = visibility.rasterize_vis_tiled(
+                s, width, height, return_overflow=True, **kw)
     else:
         depth, tri = xla_raster.rasterize_vis(s, width, height)
         ovf = jnp.zeros((2,), jnp.int32)
@@ -354,7 +364,7 @@ class Renderer:
         # here — the reference also leaves it unused (lighting_pass.glsl:689-691
         # is commented out); bake/ibl.bake_irradiance exists for parity and is
         # covered by tests/test_bake.py.
-        self.prefiltered_env = bake_cache.cached_bake(
+        self.prefiltered_env_raw = bake_cache.cached_bake(
             "prefiltered_env",
             lambda: ibl.bake_prefiltered_env(
                 env_atlas, self.env_base, cfg.prefiltered_env_size,
@@ -362,6 +372,11 @@ class Renderer:
             ),
             env, cfg.prefiltered_env_size, cfg.prefilter_samples,
             enabled=use_cache,
+        )
+        # window-packed f16 view: 1-row static-level / 2-row dynamic-LOD
+        # cubemap samples in the lighting pass (sampling.py rationale)
+        self.prefiltered_env = sampling.pack_cube_mip_atlas_window(
+            self.prefiltered_env_raw, cfg.prefiltered_env_size
         )
         self.brdf_lut = bake_cache.cached_bake(
             "brdf_lut",
@@ -389,7 +404,9 @@ class Renderer:
         max_seg, total = (int(x) for x in np.asarray(self.state.raster_overflow))
         pair_cap = self.cfg.pair_capacity_factor * self.scene.num_tris
         msgs = []
-        if max_seg > self.cfg.tile_capacity:
+        # the folded (v2) kernel processes segments of any depth; only the v1
+        # rowblock kernel has a per-tile capacity
+        if self.cfg.raster_kernel == "rowblock" and max_seg > self.cfg.tile_capacity:
             msgs.append(
                 f"tile segment {max_seg} > tile_capacity {self.cfg.tile_capacity}"
             )

@@ -53,19 +53,26 @@ class Scene(NamedTuple):
     uvs: jnp.ndarray              # [V,2] f32
     indices: jnp.ndarray          # [T,3] i32
     mat_id: jnp.ndarray           # [T] i32
-    # ONE packed material mip-atlas array [M, TS, Wa, 12]: channels
-    # 0-3 base_color rgba, 4-5 normal xy, 6-8 orm, 9-11 emissive.  Packing all
-    # maps into one texture means a single gather row fetches every material
-    # channel (TPU gathers cost per ROW, ~13ns — 4 separate atlases would
-    # quadruple the G-buffer pass's dominant cost).
-    tex_packed: jnp.ndarray       # [M,TS,Wa,48]: each texel carries its 2x2
-                                  # bilinear window (build_mip_atlas_window) —
-                                  # dynamic-LOD sampling = 2 gather rows
+    # ONE packed material mip-atlas array: channels 0-3 base_color rgba,
+    # 4-5 normal xy, 6-8 orm, 9-11 emissive.  Packing all maps into one
+    # texture means a single gather row fetches every material channel (TPU
+    # gathers cost per ROW — 4 separate atlases would quadruple the G-buffer
+    # pass's dominant cost).  Stored uint8 (the reference's sources are 8-bit
+    # BC/TGA textures, asset_import.cpp) with per-channel dequant scales:
+    # 48-byte rows gather ~3x faster than the f32 192-byte rows did.
+    tex_packed: jnp.ndarray       # [M,TS,Wa,48] uint8: each texel carries its
+                                  # 2x2 bilinear window (build_mip_atlas_window_u8)
+    tex_scale: jnp.ndarray        # [12] f32: value = u8/255 * tex_scale[c]
     alpha_test: jnp.ndarray       # [M] bool
     # gather-friendly packing (gathers cost per ROW): all vertex attributes in
     # one row, and (i0,i1,i2,mat) in one row per triangle
     vertex_packed: jnp.ndarray    # [V,8] f32: pos xyz, normal xyz, uv
     tri_meta: jnp.ndarray         # [T,4] i32: i0, i1, i2, mat_id
+    # triangle-major attribute row: ONE 96-byte gather fetches all three
+    # vertices' attributes (vs tri_meta + 3x vertex_packed = 4 rows/pixel in
+    # round 1 — sharing verts across tris is not worth 4x the gather rows)
+    tri_attr: jnp.ndarray         # [T,24] f32: pos0..2 (9), nrm0..2 (9), uv0..2 (6)
+    tri_alpha: jnp.ndarray        # [T] f32: 1.0 where the material alpha-tests
 
     @property
     def num_tris(self) -> int:
@@ -151,13 +158,23 @@ def build_scene(
     packed = np.concatenate(
         [np.stack(bc), np.stack(nm), np.stack(orm), np.stack(em)], axis=-1
     )
-    arr = jnp.asarray(packed, dtype)
+    # per-channel dequant scale = max over all materials (min 1 so unit-range
+    # channels keep exact 1/255 steps; emissive factors > 1 stay representable)
+    tex_scale = np.maximum(packed.reshape(-1, 12).max(axis=0), 1.0).astype(np.float32)
+    arr = jnp.asarray(packed, jnp.float32)
     tex_packed = jnp.stack(
-        [sampling.build_mip_atlas_window(arr[i]) for i in range(arr.shape[0])]
+        [sampling.build_mip_atlas_window_u8(arr[i], tex_scale)
+         for i in range(arr.shape[0])]
     )
 
     vertex_packed = np.concatenate([pos, nrm, uv], axis=1).astype(np.float32)
     tri_meta = np.concatenate([idx, mat[:, None]], axis=1).astype(np.int32)
+    tri_attr = np.concatenate(
+        [pos[idx].reshape(-1, 9), nrm[idx].reshape(-1, 9), uv[idx].reshape(-1, 6)],
+        axis=1,
+    ).astype(np.float32)
+    at_arr = np.asarray(at, bool)
+    tri_alpha = at_arr[mat].astype(np.float32)
 
     return Scene(
         positions=jnp.asarray(pos),
@@ -166,7 +183,10 @@ def build_scene(
         indices=jnp.asarray(idx),
         mat_id=jnp.asarray(mat),
         tex_packed=tex_packed,
+        tex_scale=jnp.asarray(tex_scale),
         alpha_test=jnp.asarray(np.asarray(at, bool)),
         vertex_packed=jnp.asarray(vertex_packed),
         tri_meta=jnp.asarray(tri_meta),
+        tri_attr=jnp.asarray(tri_attr),
+        tri_alpha=jnp.asarray(tri_alpha),
     )

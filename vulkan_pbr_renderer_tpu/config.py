@@ -88,9 +88,12 @@ class RenderConfig:
     f0_dielectric: float = 0.04            # lighting_pass.glsl:657
 
     # --- rasterizer (TPU-native; no reference equivalent) -----------------
-    tile_h: int = 32                       # pixel tile: sublane-aligned
-    tile_w: int = 128                      # pixel tile: lane-aligned
-    tile_capacity: int = 4096              # max binned triangles per tile
+    raster_kernel: str = "folded"          # 'folded' (v2, visibility_v2.py) or
+                                           # 'rowblock' (v1, visibility.py)
+    folded_tile: int = 32                  # v2 pixel tile (folded into lanes)
+    tile_h: int = 32                       # v1 pixel tile: sublane-aligned
+    tile_w: int = 128                      # v1 pixel tile: lane-aligned
+    tile_capacity: int = 4096              # v1 max binned triangles per tile
     tri_chunk: int = 128                   # triangles rasterized per inner step
     pair_capacity_factor: int = 4          # binning pair buffer = factor * tris
 

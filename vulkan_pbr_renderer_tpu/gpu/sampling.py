@@ -337,11 +337,17 @@ def build_mip_atlas(tex, levels=None):
 # rebuilt per frame (~1 ms of bandwidth each).
 
 
-def window_pack(tex, wy, wx, pad_mode="edge"):
+def window_pack(tex, wy, wx, pad_mode="edge", dtype=None):
     """[H,W,C] -> [H,W,wy*wx*C]; row (y,x) holds tex[y:y+wy, x:x+wx],
     channel layout (dy*wx+dx)*C + c.  pad_mode 'edge' = clamp addressing,
-    'wrap' = repeat addressing (exact for tiled material textures)."""
+    'wrap' = repeat addressing (exact for tiled material textures).
+
+    dtype: optional storage dtype for the pack (e.g. jnp.float16 — matches the
+    reference's RGBA16F render targets, render.cpp:693-697, and HALVES the
+    gather row bytes, the thing TPU gathers are priced on)."""
     h, w, c = tex.shape
+    if dtype is not None:
+        tex = tex.astype(dtype)
     p = jnp.pad(tex, ((0, wy - 1), (0, wx - 1), (0, 0)), mode=pad_mode)
     return jnp.concatenate(
         [p[dy : dy + h, dx : dx + w] for dy in range(wy) for dx in range(wx)],
@@ -349,10 +355,12 @@ def window_pack(tex, wy, wx, pad_mode="edge"):
     )
 
 
-def window_pack3d(vol):
+def window_pack3d(vol, dtype=None):
     """[D,H,W,C] -> [D,H,W,8C]; row (z,y,x) holds the 2x2x2 corner block
-    (dz*4+dy*2+dx)*C + c, edge-clamped."""
+    (dz*4+dy*2+dx)*C + c, edge-clamped.  dtype: see window_pack."""
     d, h, w, c = vol.shape
+    if dtype is not None:
+        vol = vol.astype(dtype)
     p = jnp.pad(vol, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
     return jnp.concatenate(
         [
@@ -388,6 +396,8 @@ def sample_trilinear_window(wvol, uvw, channels):
 
     flat = wvol.reshape(d * h * w, c8)
     row = jnp.take(flat, (iz * h + iy) * w + ix, axis=0)
+    if row.dtype != jnp.float32:
+        row = row.astype(jnp.float32)
     cc = channels
 
     def corner(dz, dy, dx):
@@ -421,6 +431,8 @@ def sample_catmull_rom_window(wtex, base_h, base_w, uv, channels):
     t0y = jnp.clip(t1[..., 1].astype(jnp.int32) - 1, 0, base_h - 4)
     flat = wtex.reshape(base_h * base_w, -1)
     row = jnp.take(flat, t0y * base_w + t0x, axis=0)
+    if row.dtype != jnp.float32:
+        row = row.astype(jnp.float32)
     cc = channels
     out = 0.0
     for i in range(4):
@@ -451,6 +463,8 @@ def sample_bilinear_window(wtex, base_h, base_w, uv, channels, mode="clamp"):
         fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
     flat = wtex.reshape(base_h * base_w, -1)
     row = jnp.take(flat, iy * base_w + ix, axis=0)
+    if row.dtype != jnp.float32:
+        row = row.astype(jnp.float32)
     c = channels
     t00 = row[..., 0 * c : 1 * c]
     t10 = row[..., 1 * c : 2 * c]
@@ -929,4 +943,194 @@ def sample_cubemap_lod(cube_atlas, base_size, r, lod):
 
     s0 = level_sample(l0)
     s1 = level_sample(l1)
+    return s0 + (s1 - s0) * fl
+
+
+# ---------------------------------------------------------------------------
+# uint8 quantized material atlases + nearest-mip sampling.
+#
+# The reference's material textures are 8-bit (BC-compressed DDS / TGA,
+# asset_import.cpp + ddspp) sampled by texture units; our f32 window atlas
+# paid 192-byte gather rows (~27M rows/s, docs/PERF_NOTES.md row-width cliff).
+# Storing the packed 12-channel texel set as uint8 with a per-channel
+# dequantization scale makes the window row 48 bytes (~76M rows/s), and
+# nearest-mip selection (GL_*_MIPMAP_NEAREST) halves rows again: material
+# sampling drops from 2x192B rows to 1x48B per pixel.
+
+
+def quantize_u8(tex, scale):
+    """f32 [..,C] in [0, scale_c] -> uint8 with round-to-nearest."""
+    s = jnp.asarray(scale, jnp.float32)
+    return jnp.clip(jnp.round(tex / s * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+def build_mip_atlas_window_u8(tex, scale, levels=None):
+    """build_mip_atlas_window with uint8 storage: mips are generated in f32
+    (box filter) then each level quantizes by the per-channel `scale`."""
+    h, w, c = tex.shape
+    levels = levels or n_mip_levels(h, w)
+    offs, wa = mip_offsets(h, w, levels)
+    atlas = jnp.zeros((h, wa, 4 * c), jnp.uint8)
+    cur = tex
+    for k in range(levels):
+        lh, lw = max(1, h >> k), max(1, w >> k)
+        atlas = atlas.at[:lh, offs[k] : offs[k] + lw].set(
+            quantize_u8(window_pack(cur, 2, 2, pad_mode="wrap"),
+                        jnp.tile(jnp.asarray(scale, jnp.float32), 4))
+        )
+        if k + 1 < levels:
+            cur = downsample2x(cur)
+    return atlas
+
+
+def sample_mip_atlas_array_window_nearest(atlas, layer, uv, lod, channels,
+                                          scale=None, mode="wrap"):
+    """Bilinear sample at the NEAREST mip level from a layered window atlas —
+    ONE gather row per sample (vs 2 for trilinear mip lerp, vs 8 unpacked).
+
+    atlas [L,H,Wa,4C] (uint8 or float); scale [C] dequantization scale for
+    uint8 atlases (value = u8/255*scale).  Matches the trilinear sampler to
+    within half a mip transition (GL *_MIPMAP_NEAREST semantics).
+    """
+    nl, base_h, wa, c4 = atlas.shape
+    base_w = base_h
+    c = channels
+    levels = n_mip_levels(base_h, base_w)
+    offs, wa_expect = mip_offsets(base_h, base_w, levels)
+    assert wa == wa_expect
+    offs_arr = jnp.array(offs, jnp.int32)
+    size_arr = jnp.array([max(1, base_h >> k) for k in range(levels)], jnp.int32)
+
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1)
+    lv = jnp.round(lod).astype(jnp.int32)
+    flat = atlas.reshape(nl * base_h * wa, c4)
+
+    ls = jnp.take(size_arr, lv)
+    off = jnp.take(offs_arr, lv)
+    x = uv[..., 0] * ls - 0.5
+    y = uv[..., 1] * ls - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    if mode == "wrap":
+        ix = jnp.mod(x0f.astype(jnp.int32), ls)
+        iy = jnp.mod(y0f.astype(jnp.int32), ls)
+    else:
+        ix = jnp.clip(x0f.astype(jnp.int32), 0, ls - 1)
+        iy = jnp.clip(y0f.astype(jnp.int32), 0, ls - 1)
+        fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
+        fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
+    row = jnp.take(flat, (layer * base_h + iy) * wa + off + ix, axis=0)
+    row = row.astype(jnp.float32)
+    if scale is not None:
+        row = row * (jnp.tile(jnp.asarray(scale, jnp.float32), 4) / 255.0)
+    t00 = row[..., 0 * c : 1 * c]
+    t10 = row[..., 1 * c : 2 * c]
+    t01 = row[..., 2 * c : 3 * c]
+    t11 = row[..., 3 * c : 4 * c]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+# ---------------------------------------------------------------------------
+# Window-packed cube mip atlas: 1 gather row per static-level cubemap sample,
+# 2 rows for dynamic-LOD trilinear (vs 4 / 8+ from the plain cube atlas).
+
+
+def build_cube_mip_atlas_window(faces, levels=None, dtype=jnp.float16):
+    """[6,S,S,C] cubemap -> [6,S,Wa,4C] per-face window-packed mip atlas.
+    Each level is window-packed separately (edge-clamped, matching the
+    face-local clamp of sample_cubemap_level).  f16 storage by default —
+    the reference's env maps are RGBA16F (render.cpp:564-579)."""
+    six, s, _, c = faces.shape
+    levels = levels or n_mip_levels(s, s)
+    offs, wa = mip_offsets(s, s, levels)
+    out = jnp.zeros((six, s, wa, 4 * c), dtype)
+    for f in range(six):
+        cur = faces[f]
+        for k in range(levels):
+            ls = max(1, s >> k)
+            out = out.at[f, :ls, offs[k] : offs[k] + ls].set(
+                window_pack(cur, 2, 2, pad_mode="edge").astype(dtype)
+            )
+            if k + 1 < levels:
+                cur = downsample2x(cur)
+    return out
+
+
+def pack_cube_mip_atlas_window(cube_atlas, base_size, dtype=jnp.float16):
+    """Convert an existing cube mip atlas [6,S,Wa,C] (e.g. the prefiltered
+    env bake, which has DIFFERENT content per level — not a box chain) into
+    the window-packed layout used by the 1-row samplers."""
+    six, s, wa, c = cube_atlas.shape
+    levels = n_mip_levels(base_size, base_size)
+    offs, _ = mip_offsets(base_size, base_size, levels)
+    out = jnp.zeros((six, s, wa, 4 * c), dtype)
+    for f in range(six):
+        for k in range(levels):
+            ls = max(1, base_size >> k)
+            lvl = cube_atlas[f, :ls, offs[k] : offs[k] + ls]
+            out = out.at[f, :ls, offs[k] : offs[k] + ls].set(
+                window_pack(lvl, 2, 2, pad_mode="edge").astype(dtype)
+            )
+    return out
+
+
+def _cube_window_level_sample(flat, s, wa, c, face, uv, ls, off):
+    """One bilinear sample from a window-packed cube atlas level."""
+    x = uv[..., 0] * ls - 0.5
+    y = uv[..., 1] * ls - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    ix = jnp.clip(x0f.astype(jnp.int32), 0, ls - 1)
+    iy = jnp.clip(y0f.astype(jnp.int32), 0, ls - 1)
+    fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
+    row = jnp.take(flat, (face * s + iy) * wa + off + ix, axis=0)
+    row = row.astype(jnp.float32)
+    t00 = row[..., 0 * c : 1 * c]
+    t10 = row[..., 1 * c : 2 * c]
+    t01 = row[..., 2 * c : 3 * c]
+    t11 = row[..., 3 * c : 4 * c]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_cubemap_level_window(wcube, base_size, r, level):
+    """Bilinear cubemap sample at one STATIC mip level — ONE gather row
+    (the sky fallback's textureLod(..., 0.), lighting_pass.glsl:709)."""
+    six, s, wa, c4 = wcube.shape
+    c = c4 // 4
+    levels = n_mip_levels(base_size, base_size)
+    level = min(int(level), levels - 1)
+    offs, _ = mip_offsets(base_size, base_size, levels)
+    face, uv = cubemap_face_uv_from_dir(r)
+    flat = wcube.reshape(six * s * wa, c4)
+    return _cube_window_level_sample(
+        flat, s, wa, c, face, uv, max(1, base_size >> level), offs[level]
+    )
+
+
+def sample_cubemap_lod_window(wcube, base_size, r, lod):
+    """Trilinear (bilinear + mip lerp) cubemap sample — TWO gather rows
+    (textureLod with dynamic lod, lighting_pass.glsl:699)."""
+    six, s, wa, c4 = wcube.shape
+    c = c4 // 4
+    levels = n_mip_levels(base_size, base_size)
+    offs, _ = mip_offsets(base_size, base_size, levels)
+    offs_arr = jnp.array(offs, jnp.int32)
+    size_arr = jnp.array([max(1, base_size >> k) for k in range(levels)], jnp.int32)
+    face, uv = cubemap_face_uv_from_dir(r)
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, levels - 1)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    flat = wcube.reshape(six * s * wa, c4)
+    s0 = _cube_window_level_sample(
+        flat, s, wa, c, face, uv, jnp.take(size_arr, l0), jnp.take(offs_arr, l0))
+    s1 = _cube_window_level_sample(
+        flat, s, wa, c, face, uv, jnp.take(size_arr, l1), jnp.take(offs_arr, l1))
     return s0 + (s1 - s0) * fl

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..app import renderer as rmod
 from ..config import RenderConfig
 from ..raster import setup as rsetup
-from ..raster import visibility, xla_raster
+from ..raster import visibility, visibility_v2, xla_raster
 from ..shade import gbuffer as gb
 from ..shade import gi, lighting
 
@@ -67,10 +67,16 @@ def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull,
     # then rasterizes only its [y_origin, y_origin+rows) slice
     s = rsetup.setup_triangles(tri_clip, width, full_height, cull=cull)
     if backend == "pallas":
-        d, t, ovf = visibility.rasterize_vis_tiled(
-            s, width, rows, tile_capacity=cfg.tile_capacity,
-            y_origin=y_origin, return_overflow=True,
-        )
+        if cfg.raster_kernel == "folded":
+            d, t, ovf = visibility_v2.rasterize_vis_folded(
+                s, width, rows, tile=cfg.folded_tile, chunk=cfg.tri_chunk,
+                y_origin=y_origin, return_overflow=True,
+            )
+        else:
+            d, t, ovf = visibility.rasterize_vis_tiled(
+                s, width, rows, tile_capacity=cfg.tile_capacity,
+                y_origin=y_origin, return_overflow=True,
+            )
     else:
         d, t = xla_raster.rasterize_vis(s, width, rows, y_origin=y_origin)
         ovf = jnp.zeros((2,), jnp.int32)

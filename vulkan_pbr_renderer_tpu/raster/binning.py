@@ -117,23 +117,33 @@ def bin_triangles(
     base_tile = (ty0 * tiles_x + tx0).astype(jnp.int32)
 
     tile_bits = max(1, int(n_tiles).bit_length())
-    tri_bits = max(1, (n - 1).bit_length())
-    span_bits = 6  # ntx <= 63 tiles across — plenty for 8k-wide screens
-    # packed keys must stay positive int32: worst key is (sentinel n_tiles,
-    # tri 2^tri_bits-1) for the sort, (tri n-1, ntx/base) for the fills
-    assert ((n_tiles + 1) << tri_bits) <= (1 << 31) and (
-        n << max(span_bits, tile_bits)
-    ) <= (1 << 31), "triangle count too large for packed binning keys"
+    span_bits = 8  # ntx <= 255 tiles across — 8k-wide screens at 32px tiles
+    half_bits = (tile_bits + 1) // 2
+    # packed fill values must stay positive int32 (tri in the high bits keeps
+    # them monotone over the scatter order; base_tile is split into two
+    # half-width fills so even 2^14-tile screens fit)
+    assert (n << max(span_bits, half_bits)) <= (1 << 31) and n < (
+        1 << 24
+    ), "triangle count too large for packed binning keys"
 
-    # three monotone forward-fills: tri id / run start / (tri | ntx) + (tri | base)
+    # monotone forward-fills: tri id / run start / (tri|ntx) / (tri|base halves)
     tri_of = jnp.clip(_fill(scatter_idx, tri_ids32, pair_capacity), 0, n - 1)
     run_start = jnp.maximum(_fill(scatter_idx, offsets, pair_capacity), 0)
+    span_max = (1 << span_bits) - 1
     ntx_fill = _fill(
-        scatter_idx, (tri_ids32 << span_bits) | jnp.minimum(ntx, 63), pair_capacity
-    ) & ((1 << span_bits) - 1)
-    base_fill = _fill(
-        scatter_idx, (tri_ids32 << tile_bits) | base_tile, pair_capacity
-    ) & ((1 << tile_bits) - 1)
+        scatter_idx, (tri_ids32 << span_bits) | jnp.minimum(ntx, span_max),
+        pair_capacity,
+    ) & span_max
+    half_max = (1 << half_bits) - 1
+    base_lo = _fill(
+        scatter_idx, (tri_ids32 << half_bits) | (base_tile & half_max),
+        pair_capacity,
+    ) & half_max
+    base_hi = _fill(
+        scatter_idx, (tri_ids32 << half_bits) | (base_tile >> half_bits),
+        pair_capacity,
+    ) & half_max
+    base_fill = (base_hi << half_bits) | base_lo
 
     p = jnp.arange(pair_capacity, dtype=jnp.int32)
     in_range = p < total
@@ -142,11 +152,9 @@ def bin_triangles(
     tile = base_fill + (m // ntx_p) * tiles_x + (m % ntx_p)
     tile = jnp.where(in_range, tile, n_tiles)  # overflow/invalid sorts last
 
-    # single-key sort; low bits = tri id (stable within tile AND gather-free)
-    key = (tile << tri_bits) | tri_of
-    skey = jax.lax.sort(key)
-    sort_tile = skey >> tri_bits
-    sort_tri = skey & ((1 << tri_bits) - 1)
+    # two-key lexicographic sort (tile, tri): per-tile order stays ascending
+    # by triangle id AND the id comes back gather-free
+    sort_tile, sort_tri = jax.lax.sort((tile, tri_of), num_keys=2)
 
     # per-tile segment starts into the sorted pair array
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)

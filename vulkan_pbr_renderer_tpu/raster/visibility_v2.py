@@ -1,0 +1,205 @@
+"""Folded-tile Pallas rasterizer (v2) — the round-2 redesign.
+
+The v1 kernel (visibility.py) loops triangles in SCALAR code: ~16 SMEM loads
+plus row-block loop management per (triangle, tile) pair, measured ~137
+cycles/pair (146 ms at 638k tris, docs/PERF_NOTES.md).  This kernel removes
+the scalar loop entirely — the design evaluated as "most promising" in the
+round-1 notes (PERF_NOTES "Rasterizer roadmap" #2), plus a restructured grid:
+
+* A tile is 32x32 pixels **folded** into the lane axis: plane column
+  p = y_in_tile*32 + x_in_tile, so one [chunk, 1024] vector op evaluates a
+  whole chunk of triangles against the whole tile.  Per-triangle coefficients
+  live in VMEM as [chunk, 1] columns and broadcast along LANES (the cheap
+  direction; sublane broadcasts are the slow one — CLAUDE.md).
+* The grid is one step per tile (not per tile*max-chunks): each step walks
+  exactly ceil(segment/chunk) chunks of its own pair segment with
+  double-buffered async DMA from HBM — empty tiles cost one grid step, and
+  there is NO tile_capacity: arbitrarily deep tiles are processed in full
+  (kills the v1 silent-drop overflow class, ADVICE.md r1 high).
+* Depth resolve: each of the `chunk` sublane slots keeps a running
+  (min z, id) over the chunks it sees; one final reduction per tile picks the
+  global winner.  Tie-break on exactly equal depth is "smallest triangle id"
+  (v1: first-processed) — identical except for exactly coincident surfaces.
+
+Matches the fixed-function rasterizer the reference gets from Vulkan
+(gpu_vulkan.c:1680-1872 graphics pipelines).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..gpu import device
+from .binning import bin_triangles
+from .setup import TriSetup
+
+FAR = 3.4e38
+BIG_ID = 3.0e38
+
+
+def _vis_kernel_folded(starts_ref, pair_ref, depth_out, id_out,
+                       buf, depth_acc, id_acc, sem, *,
+                       tile, chunk, tiles_x, y_origin):
+    pix = tile * tile
+    t = pl.program_id(0)
+    ty = t // tiles_x
+    tx = t % tiles_x
+    out_row = t % 8  # 8 tiles share one (8, pix) output block (Mosaic needs
+                     # sublane-divisible blocks; each step writes its own row)
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    n = end - start
+    # block-aligned walk: DMA whole transposed pair blocks [16, chunk] (lane
+    # dim 128-aligned — Mosaic requires it), mask rows outside [start, end)
+    blk0 = start // chunk
+    nchunks = jnp.where(n > 0, (end - 1) // chunk - blk0 + 1, 0)
+
+    # pixel-coordinate planes (int iota -> f32; f32 iota unsupported)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 1)
+    px = (tx * tile + pidx % tile).astype(jnp.float32) + 0.5
+    py = (ty * tile + pidx // tile).astype(jnp.float32) + (y_origin + 0.5)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    depth_acc[:] = jnp.full((chunk, pix), FAR, jnp.float32)
+    id_acc[:] = jnp.full((chunk, pix), BIG_ID, jnp.float32)
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            pair_ref.at[blk0 + i],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _body():
+        get_dma(0, 0).start()
+
+        def chunk_body(i, _):
+            slot = i % 2
+
+            @pl.when(i + 1 < nchunks)
+            def _():
+                get_dma((i + 1) % 2, i + 1).start()
+
+            get_dma(slot, i).wait()
+            d = jnp.swapaxes(buf[slot], 0, 1)   # [chunk, 16] f32 (XLU transpose)
+            e0 = d[:, 0:1] * px + d[:, 1:2] * py + d[:, 2:3]
+            e1 = d[:, 3:4] * px + d[:, 4:5] * py + d[:, 5:6]
+            e2 = d[:, 6:7] * px + d[:, 7:8] * py + d[:, 8:9]
+            esum = e0 + e1 + e2
+            zx, zy, zc = d[:, 9:10], d[:, 10:11], d[:, 11:12]
+            # vertex-interp depth when col 15, else screen-linear plane
+            z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
+            z_pl = zx * px + zy * py + zc
+            z = jnp.where(d[:, 15:16] > 0.5, z_hp, z_pl)
+            row_glob = (blk0 + i) * chunk + row
+            cov = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (esum > 0.0) & (z >= 0.0) & (z <= 1.0)
+                & (row_glob >= start) & (row_glob < end)  # my segment only
+            )
+            zm = jnp.where(cov, z, FAR)
+            cur = depth_acc[:]
+            take = zm < cur
+            depth_acc[:] = jnp.where(take, zm, cur)
+            id_acc[:] = jnp.where(take, d[:, 12:13], id_acc[:])
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+
+    # final resolve: global min depth, then smallest id among the minima
+    zm = depth_acc[:]
+    zmin = jnp.min(zm, axis=0, keepdims=True)          # [1, pix]
+    ids = jnp.where(zm == zmin, id_acc[:], BIG_ID)
+    idw = jnp.min(ids, axis=0, keepdims=True)
+    depth_out[pl.ds(out_row, 1), :] = zmin
+    id_out[pl.ds(out_row, 1), :] = jnp.where(zmin >= FAR, -1.0, idw)
+
+
+def rasterize_vis_folded(
+    setup: TriSetup,
+    width,
+    height,
+    tile=32,
+    chunk=128,
+    pair_capacity=None,
+    interpret=None,
+    y_origin=0,
+    return_overflow=False,
+):
+    """Folded-tile rasterization of rows [y_origin, y_origin+height).
+    Returns (depth [H,W] — +inf empty, tri_id [H,W][, overflow i32[2]]).
+
+    overflow[0] is always 0 (this kernel has no per-tile capacity); only a
+    pair_capacity overrun (overflow[1] > pair_capacity) can drop triangles.
+    """
+    if interpret is None:
+        interpret = device.pallas_interpret()
+    bins = bin_triangles(
+        setup, width, height, tile, tile, pair_capacity,
+        tile_capacity=0, chunk=chunk, y_origin=y_origin,
+    )
+    ty, tx = bins.tiles_y, bins.tiles_x
+    n_tiles = ty * tx
+    pix = tile * tile
+
+    # transposed chunk blocks [NB, 16, chunk]: the kernel DMAs one [16, chunk]
+    # block per step (lane dim = chunk = 128-aligned, as Mosaic requires)
+    assert bins.pair_data.shape[1] == chunk
+    blocks = jnp.swapaxes(bins.pair_data, 1, 2)
+
+    kernel = functools.partial(
+        _vis_kernel_folded, tile=tile, chunk=chunk, tiles_x=tx,
+        y_origin=float(y_origin),
+    )
+    n_tiles_pad = -(-n_tiles // 8) * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((8, pix), lambda t, starts: (t // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pix), lambda t, starts: (t // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, chunk), jnp.float32),
+            pltpu.VMEM((chunk, pix), jnp.float32),
+            pltpu.VMEM((chunk, pix), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth_t, id_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles_pad, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, pix), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bins.starts, blocks)
+    depth_t = depth_t[:n_tiles]
+    id_t = id_t[:n_tiles]
+
+    # unfold [T, tile*tile] -> [H, W]
+    def unfold(a):
+        return (
+            a.reshape(ty, tx, tile, tile)
+            .transpose(0, 2, 1, 3)
+            .reshape(ty * tile, tx * tile)[:height, :width]
+        )
+
+    depth = unfold(depth_t)
+    tri = unfold(id_t)
+    depth = jnp.where(depth >= FAR, jnp.inf, depth)
+    tri = jnp.where(tri >= BIG_ID, -1.0, tri).astype(jnp.int32)
+    if return_overflow:
+        ovf = jnp.stack([jnp.int32(0), bins.total_pairs])
+        return depth, tri, ovf
+    return depth, tri

@@ -63,16 +63,36 @@ def _resize(img, h, w):
 
 
 def downsample_13tap(src, dst_h, dst_w, firefly_clamp=False):
-    """One bloom downsample level (bloom_downsample.glsl:38-99)."""
-    taps = [
-        (0, 0, 0.125),
-        (-2, -2, 0.03125), (2, -2, 0.03125), (-2, 2, 0.03125), (2, 2, 0.03125),
-        (0, -2, 0.0625), (-2, 0, 0.0625), (2, 0, 0.0625), (0, 2, 0.0625),
-        (-1, -1, 0.125), (1, -1, 0.125), (-1, 1, 0.125), (1, 1, 0.125),
-    ]
-    out = 0.0
-    for (dx, dy, wgt) in taps:
-        out = out + wgt * _resize(_shift_edge(src, dy, dx), dst_h, dst_w)
+    """One bloom downsample level (bloom_downsample.glsl:38-99).
+
+    At exact 2:1 every tap is a 2x2 source-block mean at an integer offset,
+    and all 13 offsets have matching parity per axis — so the filter
+    decomposes into TWO box2 phase images (even-aligned b00, odd-aligned b11)
+    plus cheap half-res shifts.  The naive form (13 x shift+box2 at source
+    res) measured 77 ms/frame of reshape+reduce in the round-1 TPU profile;
+    this computes the identical sum (interior; borders clamp at half res)."""
+    sh, sw = src.shape[:2]
+    if (sh, sw) == (2 * dst_h, 2 * dst_w) and sh % 2 == 0 and sw % 2 == 0:
+        b00 = _box2(src)
+        b11 = _box2(_shift_edge(src, 1, 1))
+        out = 0.125 * b00
+        for (dy, dx) in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            out = out + 0.03125 * _shift_edge(b00, dy, dx)
+        for (dy, dx) in ((-1, 0), (0, -1), (1, 0), (0, 1)):
+            out = out + 0.0625 * _shift_edge(b00, dy, dx)
+        # diagonal +-1 source taps: odd-aligned blocks (b11 at half shifts)
+        for (dy, dx) in ((-1, -1), (-1, 0), (0, -1), (0, 0)):
+            out = out + 0.125 * _shift_edge(b11, dy, dx)
+    else:
+        taps = [
+            (0, 0, 0.125),
+            (-2, -2, 0.03125), (2, -2, 0.03125), (-2, 2, 0.03125), (2, 2, 0.03125),
+            (0, -2, 0.0625), (-2, 0, 0.0625), (2, 0, 0.0625), (0, 2, 0.0625),
+            (-1, -1, 0.125), (1, -1, 0.125), (-1, 1, 0.125), (1, 1, 0.125),
+        ]
+        out = 0.0
+        for (dx, dy, wgt) in taps:
+            out = out + wgt * _resize(_shift_edge(src, dy, dx), dst_h, dst_w)
     if firefly_clamp:
         out = jnp.minimum(out, 1.0)
     return out

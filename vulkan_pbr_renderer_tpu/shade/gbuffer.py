@@ -33,18 +33,35 @@ class GBuffer(NamedTuple):
     coverage: jnp.ndarray     # [H,W] bool
 
 
-def _lambda_and_derivs(setup: TriSetup, tri_idx, px, py):
+def pack_raster_row(setup: TriSetup, scene):
+    """Per-frame [T,16] f32 row: adj (9, row-major), c_w (3), mat id, alpha
+    flag, pad — so the G-buffer's per-pixel triangle fetch is exactly TWO
+    gather rows (this 64-byte one + the static 96-byte scene.tri_attr) instead
+    of round 1's six (meta + 3 verts + adj + c_w)."""
+    n = setup.adj.shape[0]
+    return jnp.concatenate(
+        [
+            setup.adj.reshape(n, 9),
+            setup.c_w,
+            scene.mat_id.astype(jnp.float32)[:, None],
+            scene.tri_alpha[:, None],
+            jnp.zeros((n, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _lambda_and_derivs(adj, cw, px, py):
     """Perspective-correct barycentrics + their exact screen-x/y derivatives.
 
     lambda_j(p) = e_j(p) / W(p) with e_j, W affine in p =>
     d(lambda_j)/dx = (a_jx * W - e_j * W_x) / W^2  (a_jx = x-coefficient).
     This replaces hardware dFdx/dFdy (geometry_pass.glsl:284-287) with exact
-    derivatives (no 2x2 quad quantization).
+    derivatives (no 2x2 quad quantization).  adj [...,3,3] (columns = edges),
+    cw [...,3] fetched by the caller.
     """
     p = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], -1)
-    adj = setup.adj[tri_idx]                       # [...,3,3]; columns = edges
     e = jnp.einsum("...ij,...i->...j", adj, p)     # [...,3]
-    cw = setup.c_w[tri_idx]                        # [...,3] W coefficients
     w = jnp.einsum("...i,...i->...", cw, p)
     w = jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
     lam = e / w[..., None]
@@ -58,8 +75,18 @@ def _lambda_and_derivs(setup: TriSetup, tri_idx, px, py):
 
 
 def _interp(attr_tri, lam):
-    """attr_tri [...,3,A] interpolated by lam [...,3] -> [...,A]."""
-    return jnp.einsum("...va,...v->...a", attr_tri, lam)
+    """attr_tri [...,3,A] interpolated by lam [...,3] -> [...,A].
+
+    Written as explicit VPU mul/adds: the einsum form lowered to a batched
+    dot_general that XLA padded onto the MXU (3-wide contraction at `highest`
+    f32 precision = 6 systolic passes) — 105 ms/frame in the round-1 profile,
+    the G-buffer's "unexplained" cost.
+    """
+    return (
+        attr_tri[..., 0, :] * lam[..., 0:1]
+        + attr_tri[..., 1, :] * lam[..., 1:2]
+        + attr_tri[..., 2, :] * lam[..., 2:3]
+    )
 
 
 def gbuffer_pass(
@@ -86,15 +113,20 @@ def gbuffer_pass(
         jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset, (h, w)
     )
 
-    lam, dlam_dx, dlam_dy = _lambda_and_derivs(setup, tid, px, py)
+    # TWO gather rows per pixel: the per-frame raster row (adj, c_w, mat,
+    # alpha) and the static triangle attribute row (3 verts' pos/nrm/uv)
+    row_a = pack_raster_row(setup, scene)[tid]     # [H,W,16]
+    adj = row_a[..., 0:9].reshape(row_a.shape[:-1] + (3, 3))
+    cw = row_a[..., 9:12]
+    mat = row_a[..., 12].astype(jnp.int32)
+    do_test = row_a[..., 13] > 0.5
 
-    meta = scene.tri_meta[tid]                     # [H,W,4] one row per pixel
-    vidx = meta[..., :3]
-    mat = meta[..., 3]
-    vert = scene.vertex_packed[vidx]               # [H,W,3,8] three rows
-    pos_tri = vert[..., 0:3]
-    nrm_tri = vert[..., 3:6]
-    uv_tri = vert[..., 6:8]
+    lam, dlam_dx, dlam_dy = _lambda_and_derivs(adj, cw, px, py)
+
+    attr = scene.tri_attr[tid]                     # [H,W,24]
+    pos_tri = attr[..., 0:9].reshape(attr.shape[:-1] + (3, 3))
+    nrm_tri = attr[..., 9:18].reshape(attr.shape[:-1] + (3, 3))
+    uv_tri = attr[..., 18:24].reshape(attr.shape[:-1] + (3, 2))
 
     world_pos = _interp(pos_tri, lam)
     normal_geo = _interp(nrm_tri, lam)
@@ -114,14 +146,18 @@ def gbuffer_pass(
     lod = 0.5 * jnp.log2(jnp.maximum(du, 1e-12))
     lod = jnp.clip(lod, 0.0, 16.0)
 
-    texel = sampling.sample_mip_atlas_array_window(scene.tex_packed, mat, uv, lod, 12)
+    # nearest-mip (GL *_MIPMAP_NEAREST) from the uint8 window atlas: ONE
+    # 48-byte gather row per pixel (was 2x192B f32 trilinear rows — the
+    # single largest op of the round-1 frame, 277 ms; docs/PERF_NOTES.md)
+    texel = sampling.sample_mip_atlas_array_window_nearest(
+        scene.tex_packed, mat, uv, lod, 12, scale=scene.tex_scale
+    )
     base_color = texel[..., 0:4]
     nrm_xy = texel[..., 4:6]
     orm = texel[..., 6:9]
     emissive = texel[..., 9:12]
 
     # alpha test (geometry_pass.glsl:259): discard -> background
-    do_test = scene.alpha_test[mat]
     alpha_ok = jnp.where(do_test, base_color[..., 3] >= alpha_threshold, True)
     covered = covered & alpha_ok
 

@@ -172,7 +172,9 @@ def voxelize_scene(
     mat = scene.mat_id[tri_of]
 
     lod = jnp.full(pid.shape, texture_lod, jnp.float32)
-    texel = sampling.sample_mip_atlas_array_window(scene.tex_packed, mat, uv, lod, 12)
+    texel = sampling.sample_mip_atlas_array_window_nearest(
+        scene.tex_packed, mat, uv, lod, 12, scale=scene.tex_scale
+    )
     base_color = texel[..., 0:3]
     emissive = texel[..., 9:12]
 
@@ -236,7 +238,12 @@ def _skip_blockage(grid, ro, rd, steps, open_thresh):
         sum_n = sum_c + jnp.where(newly[..., None], add, 0.0)
         return ro_n, sum_n, found | newly
 
-    return jax.lax.fori_loop(0, steps, body, (ro, sum0, found0))
+    carry = (ro, sum0, found0)
+    if steps <= 4:  # unrolled: skips XLA while-loop overhead on the hot path
+        for i in range(steps):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, steps, body, carry)
 
 
 def _voxel_march(grid, ro, rd, sum4, num_steps, foggyness, accumulate_fog):

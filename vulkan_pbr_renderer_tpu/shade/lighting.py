@@ -45,7 +45,10 @@ class LightingResources(NamedTuple):
 
     sun_depth: jnp.ndarray            # [S,S]
     lightgrid: jnp.ndarray            # [D,D,D,4]
-    prefiltered_env: jnp.ndarray      # [6,S,Wa,3] cube mip atlas
+    prefiltered_env: jnp.ndarray      # [6,S,Wa,12] WINDOW-packed cube mip
+                                      # atlas (pack_cube_mip_atlas_window,
+                                      # f16): static-level samples = 1 gather
+                                      # row, dynamic-LOD = 2
     brdf_lut: jnp.ndarray             # [L,L,2]
     prev_frame_atlas: jnp.ndarray     # [H/2,Wa,3] prev frame's bloom downscale
                                       # pyramid (render.cpp:862 binds it as
@@ -195,7 +198,8 @@ def lighting_pass(
     # --- GI (glsl:683-702) ------------------------------------------------
     if cfg.enable_gi:
         kg = cfg.gi_res_divisor
-        wgrid = sampling.window_pack3d(res.lightgrid)
+        # f16 pack: 64-byte rows (the measured gather row-width sweet spot)
+        wgrid = sampling.window_pack3d(res.lightgrid, dtype=jnp.float16)
         trace_depth = depth_full if depth_full is not None else g.depth
         nd, vd = _down(n, kg), _down(v, kg)
         n1d, n2d, n3d = _down(noise_1, kg), _down(noise_2, kg), _down(noise_3, kg)
@@ -251,14 +255,14 @@ def lighting_pass(
         # static split-sum IBL path (the pre-GI pipeline, geometry_pass.glsl:322-346
         # commented reference) — used by the Cerberus config
         env_size = res.prefiltered_env.shape[1]
-        irr = sampling.sample_cubemap_lod(res.prefiltered_env, env_size, n, jnp.full((h, w), 4.0))
+        irr = sampling.sample_cubemap_level_window(res.prefiltered_env, env_size, n, 4)
         ks = brdf.fresnel_schlick(v_dot_n, f0)
         kd = (1.0 - ks) * (1.0 - metallic[..., None])
         outgoing = outgoing + kd * irr * base_color
         r = m3.reflect(-v, n)
         r2 = roughness * roughness
         r = r + (n - r) * (r2 * r2)[..., None]
-        spec = sampling.sample_cubemap_lod(res.prefiltered_env, env_size, r, roughness * 4.0)
+        spec = sampling.sample_cubemap_lod_window(res.prefiltered_env, env_size, r, roughness * 4.0)
         outgoing = outgoing + spec * (f0 * fresnel_scale + fresnel_bias)
 
     outgoing = outgoing + emissive
@@ -269,7 +273,7 @@ def lighting_pass(
     # (render.cpp:1103-1115), so the sky must be crisp, not a blurred mip.
     out_of_bounds = jnp.any(jnp.abs(p_world) > cfg.world_bounds, axis=-1) | ~g.coverage
     env_size = res.prefiltered_env.shape[1]
-    sky = sampling.sample_cubemap_level(res.prefiltered_env, env_size, -v, 0)
+    sky = sampling.sample_cubemap_level_window(res.prefiltered_env, env_size, -v, 0)
     outgoing = jnp.where(out_of_bounds[..., None], sky, outgoing)
 
     return jnp.maximum(outgoing, 0.0)

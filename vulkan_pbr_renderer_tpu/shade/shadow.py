@@ -85,23 +85,23 @@ def light_shafts(sun_depth, sun_space_from_world, camera_pos, world_pos, normal,
     step_size = 1.0 / 16.0
     step = step_size * delta / jnp.maximum(dist, 1e-8)[..., None]
 
-    pos0 = cam_sun + step * noise_1[..., None]
-    trav0 = step_size * noise_1
-
     s = sun_depth.shape[0]
 
-    def body(i, carry):
-        acc, pos, trav = carry
-        pos = pos + step
-        trav = trav + step_size
-        active = trav <= dist
-        uv = pos[..., :2] * 0.5 + 0.5
-        if wdepth is not None:
-            vis = sampling.sample_depth_compare_window(wdepth, s, uv, pos[..., 2])
-        else:
-            vis = sampling.sample_depth_compare(sun_depth, uv, pos[..., 2])
-        acc = acc + jnp.where(active, vis, 0.0)
-        return acc, pos, trav
-
-    acc, _, _ = jax.lax.fori_loop(0, max_steps, body, (jnp.zeros_like(dist), pos0, trav0))
+    # The march positions are AFFINE in the step index (there is no early
+    # break — the reference's `if (traveled > distance) break` only truncates
+    # the sum), so the whole march batches into ONE gather of [*, max_steps]
+    # rows instead of max_steps sequential small gathers — the round-1 profile
+    # showed the sequential form paying ~40 ms of pure `while` overhead plus
+    # latency-bound small-batch gathers (docs/PERF_NOTES.md round 2).
+    i = jnp.arange(1, max_steps + 1, dtype=jnp.float32)          # [S]
+    t = noise_1[..., None] + i                                   # [*, S]
+    pos = cam_sun[..., None, :] + step[..., None, :] * t[..., None]
+    trav = step_size * t
+    active = trav <= dist[..., None]
+    uv = pos[..., :2] * 0.5 + 0.5
+    if wdepth is not None:
+        vis = sampling.sample_depth_compare_window(wdepth, s, uv, pos[..., 2])
+    else:
+        vis = sampling.sample_depth_compare(sun_depth, uv, pos[..., 2])
+    acc = jnp.sum(jnp.where(active, vis, 0.0), axis=-1)
     return acc[..., None] * (intensity * sun_emission)

@@ -83,10 +83,13 @@ def taa_resolve(
     uv = jnp.stack([jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w))], -1)
     reproj_uv = uv - vel * 0.5
 
-    wvel = sampling.window_pack(velocity_prev, 2, 2)
+    # f16 packs: the reference's velocity/history RTs are 16-bit float
+    # (render.cpp:693-697); halves the gather row bytes (192B -> 96B for the
+    # 4x4 Catmull window — the 138 ms/frame op of the round-1 profile)
+    wvel = sampling.window_pack(velocity_prev, 2, 2, dtype=jnp.float16)
     prev_vel = sampling.sample_bilinear_window(wvel, h, w, reproj_uv, 2)
     if catmull_history:
-        whist = sampling.window_pack(history, 4, 4)
+        whist = sampling.window_pack(history, 4, 4, dtype=jnp.float16)
         prev_color = sampling.sample_catmull_rom_window(whist, h, w, reproj_uv, 3)
     else:
         prev_color = sampling.sample_bilinear(history, reproj_uv)
