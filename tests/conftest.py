@@ -8,14 +8,18 @@ we must both rewrite the env var *and* update jax.config after import.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TEST_PLATFORM=axon runs a (sub)suite on the real TPU — used for the slow
+# scale goldens (RUN_SCALE_GOLDENS=1 TEST_PLATFORM=axon pytest
+# tests/test_goldens_scale.py).  Default: CPU with 8 virtual devices.
+_plat = os.environ.get("TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if _plat == "cpu" and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _plat)
 jax.config.update("jax_enable_x64", False)
 # Keep f32 math f32 on any backend (TPU would otherwise use bf16 matmuls).
 jax.config.update("jax_default_matmul_precision", "highest")

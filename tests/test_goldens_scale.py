@@ -17,6 +17,14 @@ import os
 import numpy as np
 import pytest
 
+# These render minutes-long frames on the CPU backend the suite runs under
+# (conftest forces cpu; the reference-parity GI march at 960x544 is the slow
+# part), so they are opt-in: RUN_SCALE_GOLDENS=1 python -m pytest
+# tests/test_goldens_scale.py.  bench.py-adjacent TPU runs use the same flag.
+if os.environ.get("RUN_SCALE_GOLDENS") != "1":
+    pytest.skip("scale goldens are slow on CPU: set RUN_SCALE_GOLDENS=1",
+                allow_module_level=True)
+
 from vulkan_pbr_renderer_tpu.app import Renderer, make_camera
 from vulkan_pbr_renderer_tpu.assets import build_scene, suntemple
 from vulkan_pbr_renderer_tpu.config import RenderConfig

@@ -1,0 +1,78 @@
+"""Interactive preview client: session loop + HTTP protocol (the stand-in
+for the reference's live window loop, main.cpp:53-101)."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+from vulkan_pbr_renderer_tpu.app import preview
+from vulkan_pbr_renderer_tpu.config import RenderConfig
+
+CFG = RenderConfig(width=32, height=16)
+
+
+def _render_step(calls):
+    def step(cam, sun_angle, visualize):
+        calls.append((np.asarray(cam.position), tuple(sun_angle), visualize))
+        img = np.zeros((CFG.height, CFG.width, 3), np.float32)
+        img[..., 0] = float(np.asarray(cam.position)[1])  # encode camera y
+        return img
+
+    return step
+
+
+def test_session_tick_applies_input():
+    calls = []
+    s = preview.PreviewSession(_render_step(calls), CFG, start_pos=(0, -6, 2.5))
+    s.tick()  # no input
+    p0 = np.asarray(s.camera.pos).copy()
+    s.push_events([["press", "KeyW"]])
+    for _ in range(5):
+        s.tick()
+    assert s.camera.pos[1] > p0[1] + 0.05  # moved forward (+Y view dir)
+    # W held across ticks (reset keeps down-state)
+    assert s.inputs.is_down(ord("W"))
+    s.push_events([["release", "KeyW"], ["press", "Digit0"]])
+    s.tick()
+    assert s.sun_angle[0] > 35.0
+    s.push_events([["press", "KeyG"]])
+    s.tick()
+    assert calls[-1][2] is True  # visualize_lightgrid passed to render step
+    s.push_events([["press", "Escape"]])
+    s.tick()
+    assert s.quit
+
+
+def test_mouse_look_requires_right_button():
+    calls = []
+    s = preview.PreviewSession(_render_step(calls), CFG)
+    yaw0 = s.camera.yaw
+    s.push_events([["mouse", 50, 0]])
+    s.tick()
+    assert s.camera.yaw == yaw0
+    s.push_events([["press", "MouseRight"], ["mouse", 50, 0]])
+    s.tick()
+    assert s.camera.yaw != yaw0
+
+
+def test_http_server_roundtrip():
+    calls = []
+    s = preview.PreviewSession(_render_step(calls), CFG)
+    server = preview.serve(s, port=0, run_loop=False)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(f"{base}/").read()
+        assert b"frame.png" in page
+        body = json.dumps([["press", "KeyW"]]).encode()
+        req = urllib.request.Request(f"{base}/input", data=body, method="POST")
+        assert urllib.request.urlopen(req).status == 200
+        s.tick()
+        png = urllib.request.urlopen(f"{base}/frame.png").read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        stats = urllib.request.urlopen(f"{base}/stats").read().decode()
+        assert "frame 1" in stats and "sun" in stats
+        assert s.inputs.is_down(ord("W"))
+    finally:
+        server.shutdown()

@@ -130,6 +130,78 @@ def test_depth_compare_window_matches():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_depth_compare_window2_u16_matches():
+    """The 2x2 u16 pack (round-2 VMEM-sized shadow table) must match the
+    scalar-gather compare exactly when depths are u16-representable."""
+    rng = np.random.default_rng(10)
+    depth = jnp.asarray(
+        (rng.integers(0, 65536, (32, 32)) / 65535.0).astype(np.float32)
+    )
+    uv = jnp.asarray(rng.uniform(0.1, 0.9, (200, 2)).astype(np.float32))
+    ref_z = jnp.asarray(rng.random(200).astype(np.float32))
+    ref = np.asarray(S.sample_depth_compare(depth, uv, ref_z))
+    got = np.asarray(S.sample_depth_compare_window(
+        S.pack_depth_window_u16(depth), 32, uv, ref_z))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pcf_window2_matches_scalar_taps():
+    rng = np.random.default_rng(11)
+    depth = jnp.asarray(
+        (rng.integers(0, 65536, (64, 64)) / 65535.0).astype(np.float32)
+    )
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (400, 2)).astype(np.float32))
+    ref_z = jnp.asarray(rng.random(400).astype(np.float32))
+    s = 64
+    expect = 0.0
+    for (ox, oy) in PCF_OFFSETS:
+        expect = expect + S.sample_depth_compare(
+            depth, uv + jnp.array([ox / s, oy / s]), ref_z
+        )
+    expect = np.asarray(expect) * 0.25
+    wdepth = S.pack_depth_window_u16(depth)
+    got = 0.0
+    for (ox, oy) in PCF_OFFSETS:
+        got = got + S.sample_depth_compare_window(
+            wdepth, s, uv + jnp.array([ox / s, oy / s]), ref_z
+        )
+    got = np.asarray(got) * 0.25
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_catmull5_window_close_to_full_catmull():
+    """5-tap approx: dropped corner weight is <2% of the kernel — the result
+    must track the full 16-tap Catmull-Rom closely and beat bilinear."""
+    rng = np.random.default_rng(12)
+    tex = jnp.asarray(rng.random((32, 48, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (500, 2)).astype(np.float32))
+    full = np.asarray(S.sample_catmull_rom(tex, uv))
+    got = np.asarray(S.sample_catmull_rom_window5(
+        S.window_pack(tex, 2, 2), 32, 48, uv, 3))
+    err5 = np.abs(got - full).max()
+    assert err5 < 0.05, err5
+    bil = np.asarray(S.sample_bilinear(tex, uv))
+    assert np.abs(got - full).mean() < np.abs(bil - full).mean()
+
+
+def test_grid_u8_pack_roundtrip():
+    from vulkan_pbr_renderer_tpu.shade import gi
+
+    rng = np.random.default_rng(13)
+    grid = np.zeros((8, 8, 8, 4), np.float32)
+    grid[..., :3] = rng.random((8, 8, 8, 3)) * 6.0   # radiance range
+    grid[..., 3] = (rng.random((8, 8, 8)) > 0.5).astype(np.float32)
+    grid = jnp.asarray(grid)
+    uvw = jnp.asarray(rng.uniform(0.1, 0.9, (300, 3)).astype(np.float32))
+    ref = np.asarray(gi._gs_uvw(S.window_pack3d(grid), uvw))
+    got = np.asarray(gi._gs_uvw(gi.pack_grid_u8(grid), uvw))
+    # corners decode before the lerp, so only u8 quantization error remains
+    # (~3% relative at the top of the radiance range)
+    np.testing.assert_allclose(got[..., :3], ref[..., :3],
+                               rtol=0.06, atol=0.02)
+    np.testing.assert_allclose(got[..., 3], ref[..., 3], atol=0.01)
+
+
 def test_mip_atlas_window_matches_interior():
     rng = np.random.default_rng(9)
     texs = jnp.asarray(rng.random((3, 16, 16, 12)).astype(np.float32))

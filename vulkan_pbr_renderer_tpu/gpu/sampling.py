@@ -373,10 +373,13 @@ def window_pack3d(vol, dtype=None):
     )
 
 
-def sample_trilinear_window(wvol, uvw, channels):
+def sample_trilinear_window(wvol, uvw, channels, decode=None):
     """Trilinear 3D sample from a window_pack3d volume — ONE gather row.
 
     wvol [D,H,W,8C]; uvw [...,3] (x,y,z) clamp-addressed; returns [...,C].
+    decode: optional per-corner [...,C]->[...,C] transform applied BEFORE the
+    lerp (for quantized packs where interpolation must happen in the decoded
+    space, e.g. gi.pack_grid_u8's range-compressed radiance).
     """
     d, h, w, c8 = wvol.shape
     x = uvw[..., 0] * w - 0.5
@@ -402,7 +405,8 @@ def sample_trilinear_window(wvol, uvw, channels):
 
     def corner(dz, dy, dx):
         k = (dz * 4 + dy * 2 + dx) * cc
-        return row[..., k : k + cc]
+        v = row[..., k : k + cc]
+        return decode(v) if decode is not None else v
 
     c00 = corner(0, 0, 0) + (corner(0, 0, 1) - corner(0, 0, 0)) * fx
     c10 = corner(0, 1, 0) + (corner(0, 1, 1) - corner(0, 1, 0)) * fx
@@ -475,11 +479,35 @@ def sample_bilinear_window(wtex, base_h, base_w, uv, channels, mode="clamp"):
     return top + (bot - top) * fy
 
 
+def pack_depth_window_u16(depth):
+    """[S,S] f32 depth in [0,1] -> 2x2-window pack stored as uint16
+    ([S,S,4], 8-byte gather rows, S=2048 -> 33 MB).
+
+    Rationale (round-2 hlo_stats profile): the 4x4 f32 window pack was 268 MB
+    — too large for XLA's VMEM promotion, so every PCF/shaft gather ran at
+    ~24 M rows/s from HBM (164+56 ms/frame).  A <=64 MB table gets promoted
+    (S(1) layout) and gathers at 130-560 M rows/s.  u16 quantization error
+    (<=7.6e-6) is far below the shadow biases (normal offset ~1.25e-3 in sun
+    NDC, voxelize z-bias 1e-3), so compares are unaffected."""
+    q = jnp.clip(jnp.round(depth * 65535.0), 0.0, 65535.0).astype(jnp.uint16)
+    return window_pack(q[..., None], 2, 2)
+
+
+def _dequant_depth_row(row):
+    if row.dtype == jnp.uint16:
+        return row.astype(jnp.float32) * (1.0 / 65535.0)
+    if row.dtype != jnp.float32:
+        return row.astype(jnp.float32)
+    return row
+
+
 def sample_depth_compare_window(wdepth, base_size, uv, ref):
-    """Single bilinear-compare tap from the PCF's 4x4 window pack — ONE row
-    (the 2x2 corner set is channels 0,1,4,5 of the 4x4 layout).  Used by the
+    """Single bilinear-compare tap from a depth window pack — ONE gather row.
+    Accepts the 2x2 pack ([S,S,4], pack_depth_window_u16) or the legacy 4x4
+    pack ([S,S,16]; corner set = channels 0,1,4,5).  Used per step of the
     light-shaft march (lighting_pass.glsl:640-650): 4 rows/step -> 1."""
     s = base_size
+    wx = 2 if wdepth.shape[-1] == 4 else 4
     x = uv[..., 0] * s - 0.5
     y = uv[..., 1] * s - 0.5
     x0f, y0f = jnp.floor(x), jnp.floor(y)
@@ -490,14 +518,61 @@ def sample_depth_compare_window(wdepth, base_size, uv, ref):
     fx = jnp.where(x0f < 0, 0.0, fx)
     fy = jnp.where(y0f < 0, 0.0, fy)
     flat = wdepth.reshape(s * s, -1)
-    row = jnp.take(flat, iy * s + ix, axis=0)
+    row = _dequant_depth_row(jnp.take(flat, iy * s + ix, axis=0))
     c00 = (ref < row[..., 0]).astype(jnp.float32)
     c10 = (ref < row[..., 1]).astype(jnp.float32)
-    c01 = (ref < row[..., 4]).astype(jnp.float32)
-    c11 = (ref < row[..., 5]).astype(jnp.float32)
+    c01 = (ref < row[..., wx]).astype(jnp.float32)
+    c11 = (ref < row[..., wx + 1]).astype(jnp.float32)
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy
+
+
+def sample_catmull_rom_window5(w2tex, base_h, base_w, uv, channels):
+    """5-tap Catmull-Rom from a 2x2 window_pack — FIVE 1-row bilinear taps.
+
+    MJP's optimized bicubic drops the 4 corner taps of the 9-bilinear-tap
+    formulation and renormalizes (their combined weight (w0+w3)_x*(w0+w3)_y is
+    <2% for all fractional positions).  Replaces the 4x4 window pack for the
+    TAA history resample: that table was [H,W,48] f16 = 200 MB at 1080p — past
+    XLA's VMEM-promotion size, gathered at ~24 M rows/s (95 ms/frame, round-2
+    hlo_stats); the 2x2 pack is 50 MB and promotes, so 5 rows cost less than
+    the one slow row.  Matches SampleHistoryTextureCatmullRom
+    (taa_resolve.glsl:125-174) to within the dropped-corner error."""
+    tex_size = jnp.array([base_w, base_h], jnp.float32)
+    sample_pos = uv * tex_size
+    t1 = jnp.floor(sample_pos - 0.5) + 0.5
+    f = sample_pos - t1
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    w12 = w1 + w2
+    offset12 = w2 / w12
+    pos0 = (t1 - 1.0) / tex_size
+    pos3 = (t1 + 2.0) / tex_size
+    pos12 = (t1 + offset12) / tex_size
+
+    def tap(px, py, wgt):
+        p = jnp.stack([px, py], -1)
+        return (
+            sample_bilinear_window(w2tex, base_h, base_w, p, channels)
+            * wgt[..., None]
+        )
+
+    out = tap(pos12[..., 0], pos12[..., 1], w12[..., 0] * w12[..., 1])
+    out = out + tap(pos0[..., 0], pos12[..., 1], w0[..., 0] * w12[..., 1])
+    out = out + tap(pos3[..., 0], pos12[..., 1], w3[..., 0] * w12[..., 1])
+    out = out + tap(pos12[..., 0], pos0[..., 1], w12[..., 0] * w0[..., 1])
+    out = out + tap(pos12[..., 0], pos3[..., 1], w12[..., 0] * w3[..., 1])
+    wsum = (
+        w12[..., 0] * w12[..., 1]
+        + w0[..., 0] * w12[..., 1]
+        + w3[..., 0] * w12[..., 1]
+        + w12[..., 0] * w0[..., 1]
+        + w12[..., 0] * w3[..., 1]
+    )
+    return out / wsum[..., None]
 
 
 def build_mip_atlas_window(tex, levels=None):

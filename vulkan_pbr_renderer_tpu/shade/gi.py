@@ -203,11 +203,51 @@ def voxelize_scene(
     return grid.reshape(grid_size, grid_size, grid_size, 4)
 
 
+def pack_grid_u8(grid):
+    """[D,H,W,4] radiance grid -> 2x2x2-window pack stored uint8 [D,H,W,32].
+
+    rgb is stored per-channel range-compressed, c = sqrt(x/(1+x)) (invertible,
+    steps are finer where radiance is darker); alpha is stored raw (the sweep
+    only writes 0/1).  Why u8: the f16 window pack of the 128^3 grid was
+    134 MB — past XLA's VMEM-promotion size, so every GI trilinear fetch ran
+    at ~24 M rows/s from HBM (6 x ~16 ms/frame in the round-2 hlo_stats
+    profile); the u8 pack is 67 MB, promotes to VMEM, and decompression is two
+    VPU ops.  Quantization error ~2% of radiance at x=1 — invisible in GI."""
+    rgb = jnp.maximum(grid[..., :3], 0.0)
+    c = jnp.sqrt(rgb / (1.0 + rgb))
+    q = jnp.concatenate([c, grid[..., 3:4]], -1)
+    q8 = jnp.clip(jnp.round(q * 255.0), 0.0, 254.0).astype(jnp.uint8)
+    p = jnp.pad(q8, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    d, h, w = grid.shape[:3]
+    return jnp.concatenate(
+        [
+            p[dz : dz + d, dy : dy + h, dx : dx + w]
+            for dz in range(2)
+            for dy in range(2)
+            for dx in range(2)
+        ],
+        axis=-1,
+    )
+
+
+def _decode_grid_u8(v):
+    """Per-corner decode for pack_grid_u8 rows: u8 -> raw radiance + alpha.
+    Runs BEFORE the trilinear lerp — interpolating in the compressed space
+    would badly underestimate radiance between bright and dark voxels
+    (midpoint of x=0 and x=6 would decode to 0.27 instead of 3.0)."""
+    s = v * (1.0 / 255.0)
+    c2 = s[..., :3] * s[..., :3]
+    rgb = c2 / jnp.maximum(1.0 - c2, 1.0 / 256.0)
+    return jnp.concatenate([rgb, s[..., 3:]], -1)
+
+
 def _gs_uvw(vol, uvw):
-    """Trilinear fetch accepting either a raw [D,H,W,4] grid or a
-    window-packed [D,H,W,32] one (sampling.window_pack3d — ONE gather row)."""
+    """Trilinear fetch accepting a raw [D,H,W,4] grid or a window-packed
+    [D,H,W,32] one (pack_grid_u8 / sampling.window_pack3d — ONE gather row).
+    uint8 pack corners are decompressed to raw radiance before the lerp."""
     if vol.shape[-1] == 32:
-        return sampling.sample_trilinear_window(vol, uvw, 4)
+        decode = _decode_grid_u8 if vol.dtype == jnp.uint8 else None
+        return sampling.sample_trilinear_window(vol, uvw, 4, decode=decode)
     return sampling.sample_trilinear_3d(vol, uvw)
 
 

@@ -56,14 +56,18 @@ class LightingResources(NamedTuple):
 
 
 def reconstruct_positions(depth, world_from_clip, view_from_clip,
-                          row_offset=0, full_height=None):
+                          row_offset=0, full_height=None, stride=1):
     """depth [H,W] -> (p_world [H,W,3], p_view [H,W,3]) via inverse projection
     (lighting_pass.glsl:444-451).  For row-sharded frames, depth holds rows
-    [row_offset, row_offset+H) of a full_height-tall framebuffer."""
+    [row_offset, row_offset+H) of a full_height-tall framebuffer.  For
+    stride>1, depth holds the [::stride,::stride] subsample of a
+    (full_height, W*stride) framebuffer and positions are reconstructed at the
+    subsampled pixels' original centers (exactly p_world[::stride,::stride])."""
     h, w = depth.shape
-    fh = full_height or h
-    u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
-    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset + 0.5) / fh
+    fh = full_height or h * stride
+    fw = w * stride
+    u = (jnp.arange(w, dtype=jnp.float32)[None, :] * stride + 0.5) / fw
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] * stride + row_offset + 0.5) / fh
     ndc = jnp.stack(
         [
             jnp.broadcast_to(u * 2.0 - 1.0, (h, w)),
@@ -155,8 +159,49 @@ def lighting_pass(
 
     outgoing = jnp.zeros((h, w, 3), jnp.float32)
 
+    # Subsampled inputs for the reduced-res GI / shaft passes.  The naive
+    # [::k,::k] strided slices each lowered to a ~1.6 GB/s XLA gather (6 of
+    # them = 41 ms/frame, round-2 hlo_stats); instead everything analytic is
+    # recomputed at the subsampled pixel coords (noise, positions from depth,
+    # v from position) and the rest (depth, normal, roughness) rides ONE
+    # packed 5-channel gather.
+    need_sub = (cfg.enable_gi and cfg.gi_res_divisor > 1) or (
+        cfg.enable_light_shafts and cfg.enable_shadows
+        and cfg.shaft_res_divisor > 1
+    )
+    packed_gnr = (
+        jnp.concatenate([g.depth[..., None], n, roughness[..., None]], -1)
+        if need_sub else None
+    )
+
+    def sub_inputs(k):
+        """(n, roughness, p_world, p_view, noise_1/2/3) at the [::k,::k] grid,
+        exactly equal to subsampling the full-res arrays."""
+        if k == 1:
+            return n, roughness, p_world, p_view, (noise_1, noise_2, noise_3)
+        sub = _down(packed_gnr, k)
+        depth_d = sub[..., 0]
+        nd = sub[..., 1:4]
+        roughd = sub[..., 4]
+        pwd, pvd = reconstruct_positions(
+            depth_d, glob.world_from_clip, glob.view_from_clip,
+            row_offset, fh, stride=k,
+        )
+        hd, wd = depth_d.shape
+        pxd = (jnp.arange(wd, dtype=jnp.float32)[None, :] * k + 0.5)
+        pyd = (jnp.arange(hd, dtype=jnp.float32)[:, None] * k
+               + row_offset + 0.5)
+        pxd = jnp.broadcast_to(pxd, (hd, wd))
+        pyd = jnp.broadcast_to(pyd, (hd, wd))
+        noises = (
+            noiselib.frame_noise(pxd, pyd, f59),
+            noiselib.frame_noise(pxd, pyd, f59, offset=(90.0, 20.0)),
+            noiselib.frame_noise(pxd, pyd, f59, offset=(522.0, 55.0)),
+        )
+        return nd, roughd, pwd, pvd, noises
+
     # --- sun shadow + direct light (glsl:592-679) -------------------------
-    wdepth = (sampling.window_pack(res.sun_depth[..., None], 4, 4)
+    wdepth = (sampling.pack_depth_window_u16(res.sun_depth)
               if cfg.enable_shadows else None)
     if cfg.enable_shadows:
         vis = shadow.sun_visibility(
@@ -176,9 +221,10 @@ def lighting_pass(
     # --- volumetric light shafts (glsl:620-651) ---------------------------
     if cfg.enable_light_shafts and cfg.enable_shadows:
         ks_ = cfg.shaft_res_divisor
+        n_s, _, pw_s, _, noises_s = sub_inputs(ks_)
         shafts = shadow.light_shafts(
             res.sun_depth, glob.sun_from_world, glob.camera_pos,
-            _down(p_world, ks_), _down(n, ks_), _down(noise_1, ks_),
+            pw_s, n_s, noises_s[0],
             sun_emission, cfg.light_shaft_intensity,
             cfg.shadow_normal_offset, max_steps=cfg.light_shaft_steps * 3,
             wdepth=wdepth,
@@ -198,13 +244,12 @@ def lighting_pass(
     # --- GI (glsl:683-702) ------------------------------------------------
     if cfg.enable_gi:
         kg = cfg.gi_res_divisor
-        # f16 pack: 64-byte rows (the measured gather row-width sweet spot)
-        wgrid = sampling.window_pack3d(res.lightgrid, dtype=jnp.float16)
+        # u8 tone-compressed pack: 32-byte rows from a VMEM-promotable table
+        # (gi.pack_grid_u8 rationale)
+        wgrid = gi.pack_grid_u8(res.lightgrid)
         trace_depth = depth_full if depth_full is not None else g.depth
-        nd, vd = _down(n, kg), _down(v, kg)
-        n1d, n2d, n3d = _down(noise_1, kg), _down(noise_2, kg), _down(noise_3, kg)
-        pwd, pvd = _down(p_world, kg), _down(p_view, kg)
-        roughd = _down(roughness, kg)
+        nd, roughd, pwd, pvd, (n1d, n2d, n3d) = sub_inputs(kg)
+        vd = m3.normalize(glob.camera_pos - pwd)
         bent = bent_normal_cosine(nd, n1d, n3d)
         if cfg.gi_mode == "fast":
             ambient = gi.sample_radiance_fast(

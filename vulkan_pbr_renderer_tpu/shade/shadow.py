@@ -45,8 +45,11 @@ def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
     """4-tap PCF sun visibility in [0,1] (lighting_pass.glsl:592-608).
 
     sun_depth [S,S]; world_pos/normal [...,3]; noise_* [...] per-pixel.
-    Pass wdepth = sampling.window_pack(sun_depth[..., None], 4, 4) to fetch
-    the shared 4x4 tap window in ONE gather row instead of 16.
+    Pass wdepth = sampling.pack_depth_window_u16(sun_depth) ([S,S,4]): each
+    tap is one 8-byte gather row from a VMEM-promotable 33 MB table — faster
+    end-to-end than one row from the 268 MB 4x4 f32 pack (24 M rows/s, see
+    pack_depth_window_u16).  A [S,S,16] 4x4 pack routes to the legacy 1-row
+    sampler.
     """
     s = sun_depth.shape[0]
     px = 1.0 / s
@@ -56,6 +59,14 @@ def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
     ref = sun_p[..., 2]
     # per-pixel jitter of the tap centre (glsl:600)
     uv = uv + 2.0 * jnp.stack([noise_2 - 0.5, noise_1 - 0.5], -1) * px
+    if wdepth is not None and wdepth.shape[-1] == 4:
+        vis = 0.0
+        for (ox, oy) in PCF_OFFSETS:
+            off = jnp.array([ox * px, oy * px], jnp.float32)
+            vis = vis + sampling.sample_depth_compare_window(
+                wdepth, s, uv + off, ref
+            )
+        return vis * 0.25
     if wdepth is not None:
         return sampling.sample_pcf4_window(wdepth, s, uv, ref, PCF_OFFSETS)
     vis = 0.0

@@ -84,13 +84,16 @@ def taa_resolve(
     reproj_uv = uv - vel * 0.5
 
     # f16 packs: the reference's velocity/history RTs are 16-bit float
-    # (render.cpp:693-697); halves the gather row bytes (192B -> 96B for the
-    # 4x4 Catmull window — the 138 ms/frame op of the round-1 profile)
+    # (render.cpp:693-697).  History uses a 2x2 window + the 5-tap Catmull-Rom
+    # (sample_catmull_rom_window5): the 4x4 window table was 200 MB at 1080p —
+    # past XLA's VMEM-promotion size, so its single gather ran at ~24 M rows/s
+    # (95 ms/frame, round-2 hlo_stats); five 24-byte rows from the promoted
+    # 50 MB table are several times cheaper.
     wvel = sampling.window_pack(velocity_prev, 2, 2, dtype=jnp.float16)
     prev_vel = sampling.sample_bilinear_window(wvel, h, w, reproj_uv, 2)
     if catmull_history:
-        whist = sampling.window_pack(history, 4, 4, dtype=jnp.float16)
-        prev_color = sampling.sample_catmull_rom_window(whist, h, w, reproj_uv, 3)
+        whist = sampling.window_pack(history, 2, 2, dtype=jnp.float16)
+        prev_color = sampling.sample_catmull_rom_window5(whist, h, w, reproj_uv, 3)
     else:
         prev_color = sampling.sample_bilinear(history, reproj_uv)
     prev_color = jnp.clip(prev_color, minc, maxc)

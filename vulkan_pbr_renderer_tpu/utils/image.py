@@ -63,8 +63,8 @@ def ssim(a, b, data_range=1.0):
 # Minimal PNG writer/reader (RGB8/RGBA8), zero external deps.
 
 
-def write_png(path, img):
-    """Write a uint8 [H,W,3|4] (or float in [0,1]) array as PNG."""
+def encode_png(img, compress_level=6):
+    """Encode a uint8 [H,W,3|4] (or float in [0,1]) array as PNG bytes."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -80,10 +80,15 @@ def write_png(path, img):
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     png = b"\x89PNG\r\n\x1a\n"
     png += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
-    png += chunk(b"IDAT", zlib.compress(raw, 6))
+    png += chunk(b"IDAT", zlib.compress(raw, compress_level))
     png += chunk(b"IEND", b"")
+    return png
+
+
+def write_png(path, img):
+    """Write a uint8 [H,W,3|4] (or float in [0,1]) array as PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img))
 
 
 def read_png(path):
