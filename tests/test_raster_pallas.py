@@ -121,7 +121,11 @@ def test_overflow_counters_surface_dropped_triangles():
 
 def test_renderer_check_overflow(tmp_path):
     # end-to-end: render a frame through the pallas backend with tiny
-    # capacities and confirm the host-side check flags the drop
+    # capacities and confirm the host-side check flags the drop.  Only the v1
+    # rowblock kernel has a per-tile capacity (the sun raster packs all ~576
+    # sphere tris into one 32px tile > tile_capacity=128); the folded (v2)
+    # kernel walks arbitrarily deep segments, so the same scene must report
+    # clean there.
     from vulkan_pbr_renderer_tpu.app.renderer import Renderer, make_camera
     from vulkan_pbr_renderer_tpu.config import RenderConfig
 
@@ -134,7 +138,8 @@ def test_renderer_check_overflow(tmp_path):
         prefilter_samples=16, brdf_lut_size=16, brdf_lut_samples=16,
         bloom_pass_count=2, gi_screen_trace_steps=2, gi_diffuse_steps=2,
         gi_specular_steps=2, light_shaft_steps=2,
-        tile_capacity=128, tri_chunk=128,
+        tile_capacity=128, tri_chunk=128, raster_kernel="rowblock",
+        tile_h=32, tile_w=128,
     )
     r = Renderer(cfg, scene, use_cache=False, raster_backend="pallas")
     cam = make_camera((0.0, -4.0, 1.0), (0.0, 0.0, 1.0), cfg)
@@ -143,3 +148,9 @@ def test_renderer_check_overflow(tmp_path):
     assert not ok and "overflow" in msg
     with pytest.raises(RuntimeError):
         r.check_overflow(strict=True)
+
+    r2 = Renderer(cfg.replace(raster_kernel="folded"), scene, use_cache=False,
+                  raster_backend="pallas")
+    r2.render(cam)
+    ok2, _ = r2.check_overflow()
+    assert ok2  # no tile capacity to overflow; pair budget is ample

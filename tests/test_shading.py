@@ -157,6 +157,85 @@ def test_light_shafts_accumulate_when_visible():
     assert shafts0[0, 0] == 0.0
 
 
+def test_light_shafts_polar_matches_march():
+    """The epipolar profile must reproduce the per-step march closely on a
+    structured occluder field (the two discretize the same integral: radial
+    bins == the reference's 1/16 step; the polar path adds only theta
+    quantization)."""
+    rng = np.random.default_rng(3)
+    s = 256
+    # blocky occluder field: depth 0.35 patches over open sky
+    depth = np.ones((s, s), np.float32)
+    mask = rng.random((8, 8)) > 0.5
+    depth[np.kron(mask, np.ones((32, 32), bool))] = 0.35
+    depth = jnp.asarray(depth)
+    sun_from_world, _ = shadow.sun_matrices(25.0, 40.0)
+    cam = jnp.array([3.0, -6.0, 2.0])
+    # a grid of surface points across the volume
+    g = np.stack(np.meshgrid(np.linspace(-25, 25, 12),
+                             np.linspace(-25, 25, 12), indexing="ij"), -1)
+    pts = jnp.asarray(np.concatenate(
+        [g.reshape(-1, 2), np.full((144, 1), -5.0)], -1).astype(np.float32))
+    nrm = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), pts.shape)
+    noise = jnp.full(pts.shape[:1], 0.5)
+    emission = jnp.array([1.0, 0.9, 0.7])
+    march = np.asarray(shadow.light_shafts(
+        depth, sun_from_world, cam, pts, nrm, noise, emission))[..., 0]
+    polar = np.asarray(shadow.light_shafts_polar(
+        depth, sun_from_world, cam, pts, nrm, noise, emission,
+        n_theta=8192))[..., 0]
+    # same scale, high correlation, small mean error
+    assert march.max() > 0.0 and polar.max() > 0.0
+    denom = march.max()
+    err = np.abs(polar - march) / denom
+    assert err.mean() < 0.08, err.mean()
+    corr = np.corrcoef(march.ravel(), polar.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_taa_ycocg_history_close_to_rgb_catmull():
+    """The YCoCg split history (Catmull luma + bilinear chroma) must track
+    the reference's full RGB Catmull resample."""
+    from vulkan_pbr_renderer_tpu.gpu import sampling as S
+
+    rng = np.random.default_rng(4)
+    h, w = 48, 64
+    lighting = jnp.asarray(rng.random((h, w, 3)).astype(np.float32) * 2.0)
+    history = jnp.asarray(rng.random((h, w, 3)).astype(np.float32) * 2.0)
+    depth = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    vel = jnp.full((h, w, 2), 0.013)   # subpixel-ish reprojection
+    out_ycocg = np.asarray(taa.taa_resolve(
+        lighting, depth, vel, vel, history, catmull_history=True))
+    # reference resample path: full RGB Catmull-Rom on the same reproj uv
+    out_bilin = np.asarray(taa.taa_resolve(
+        lighting, depth, vel, vel, history, catmull_history=False))
+    # the ycocg path must stay finite, in-range, and differ from bilinear by
+    # less than the source-vs-history spread (it is a *history filter* detail)
+    assert np.isfinite(out_ycocg).all()
+    assert np.abs(out_ycocg - out_bilin).mean() < 0.1
+    # luma of the resampled history is Catmull-exact: verify directly
+    y = 0.25 * history[..., 0] + 0.5 * history[..., 1] + 0.25 * history[..., 2]
+    uv = jnp.stack(jnp.meshgrid(
+        (jnp.arange(w) + 0.5) / w, (jnp.arange(h) + 0.5) / h,
+        indexing="xy"), -1) - vel * 0.5
+    ref_y = np.asarray(S.sample_catmull_rom(y[..., None], uv))[..., 0]
+    y_pos = jnp.maximum(y, 0.0)
+    enc = jnp.sqrt(y_pos / (1.0 + y_pos))
+    u16 = jnp.clip(jnp.round(enc * 65535.0), 0, 65534).astype(jnp.uint16)
+    wl = S.window_pack(u16[..., None], 4, 4)
+
+    def dec(v):
+        e = v * (1.0 / 65535.0)
+        e2 = e * e
+        return e2 / jnp.maximum(1.0 - e2, 1.0 / 65536.0)
+
+    got_y = np.asarray(S.sample_catmull_rom_window_decode(
+        wl, h, w, uv, 1, decode=dec))[..., 0]
+    interior = np.s_[4:-4, 4:-4]
+    np.testing.assert_allclose(got_y[interior], ref_y[interior],
+                               rtol=0.02, atol=0.005)
+
+
 # ---------------------------------------------------------------------------
 # GI marches
 

@@ -110,8 +110,13 @@ def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla
 
     overflow = [max_tile_segment, total_pairs] from binning (zeros on the
     XLA path, which has no capacity limits)."""
-    clip = rsetup.transform_to_clip(scene.positions, mat, jitter)
-    tri_clip = clip[scene.indices]
+    # Transform the STATIC per-triangle position rows (scene.tri_attr[:, :9]
+    # == positions[indices], bit-identical) instead of transforming vertices
+    # and gathering by index: the [T*3] vertex gather cost ~10 ms/frame at
+    # 638k tris (round-2 hlo_stats fusion.1901); the extra transform FLOPs
+    # (3x vertices) are noise on the MXU.
+    tri_pos = scene.tri_attr[:, :9].reshape(-1, 3, 3)
+    tri_clip = rsetup.transform_to_clip(tri_pos, mat, jitter)
     s = rsetup.setup_triangles(tri_clip, width, height, cull=cull)
     if backend == "pallas":
         if cfg is None or cfg.raster_kernel == "folded":

@@ -63,6 +63,10 @@ class RenderConfig:
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001
     light_shaft_steps: int = 16
+    # 'polar': epipolar shadow profile, 1 gather row/pixel (shadow.py
+    # light_shafts_polar); 'march': the reference's per-step sampling
+    light_shaft_mode: str = "polar"
+    shaft_polar_thetas: int = 4096
 
     # --- post stack -------------------------------------------------------
     bloom_pass_count: int = 6              # render.h:2
@@ -95,7 +99,10 @@ class RenderConfig:
     tile_w: int = 128                      # v1 pixel tile: lane-aligned
     tile_capacity: int = 4096              # v1 max binned triangles per tile
     tri_chunk: int = 128                   # triangles rasterized per inner step
-    pair_capacity_factor: int = 4          # binning pair buffer = factor * tris
+    pair_capacity_factor: int = 6          # binning pair buffer = factor * tris
+                                           # (wide SunTemple fly-through views
+                                           # measured 5.6 pairs/tri; the
+                                           # overflow counter catches worse)
 
     # --- pass toggles -----------------------------------------------------
     enable_shadows: bool = True

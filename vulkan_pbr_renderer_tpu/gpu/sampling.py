@@ -575,6 +575,41 @@ def sample_catmull_rom_window5(w2tex, base_h, base_w, uv, channels):
     return out / wsum[..., None]
 
 
+def sample_catmull_rom_window_decode(wtex, base_h, base_w, uv, channels,
+                                     decode=None):
+    """Full 16-texel Catmull-Rom from a 4x4 window pack — ONE gather row —
+    with an optional per-texel decode applied BEFORE weighting (for quantized
+    packs, where weighting encoded values would distort HDR edges).
+    Same math as sample_catmull_rom_window."""
+    tex_size = jnp.array([base_w, base_h], jnp.float32)
+    sample_pos = uv * tex_size
+    t1 = jnp.floor(sample_pos - 0.5)
+    f = sample_pos - 0.5 - t1
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+    wx = [w0[..., 0], w1[..., 0], w2[..., 0], w3[..., 0]]
+    wy = [w0[..., 1], w1[..., 1], w2[..., 1], w3[..., 1]]
+
+    t0x = jnp.clip(t1[..., 0].astype(jnp.int32) - 1, 0, base_w - 4)
+    t0y = jnp.clip(t1[..., 1].astype(jnp.int32) - 1, 0, base_h - 4)
+    flat = wtex.reshape(base_h * base_w, -1)
+    row = jnp.take(flat, t0y * base_w + t0x, axis=0)
+    if row.dtype != jnp.float32:
+        row = row.astype(jnp.float32)
+    cc = channels
+    out = 0.0
+    for i in range(4):
+        for j in range(4):
+            k = (i * 4 + j) * cc
+            v = row[..., k : k + cc]
+            if decode is not None:
+                v = decode(v)
+            out = out + v * (wy[i] * wx[j])[..., None]
+    return out
+
+
 def build_mip_atlas_window(tex, levels=None):
     """Mip atlas whose texels carry their 2x2 bilinear window (4C channels):
     dynamic-LOD material sampling drops from 8 gather rows to 2.  Each level

@@ -61,8 +61,11 @@ def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull,
                     backend, cfg, jitter=None):
     """Raster rows [y_origin, y_origin+rows) of a full_height-tall viewport.
     Returns (TriSetup, depth, tri_id, overflow i32[2])."""
-    clip = rsetup.transform_to_clip(scene.positions, mat, jitter)
-    tri_clip = clip[scene.indices]
+    # transform the static per-triangle positions (== positions[indices])
+    # directly — avoids the [T*3] per-frame vertex gather (renderer._rasterize
+    # rationale, round-2 wave 5)
+    tri_pos = scene.tri_attr[:, :9].reshape(-1, 3, 3)
+    tri_clip = rsetup.transform_to_clip(tri_pos, mat, jitter)
     # NOTE: setup maps NDC to pixels with the FULL viewport height; the shard
     # then rasterizes only its [y_origin, y_origin+rows) slice
     s = rsetup.setup_triangles(tri_clip, width, full_height, cull=cull)

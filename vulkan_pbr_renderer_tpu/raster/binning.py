@@ -116,34 +116,46 @@ def bin_triangles(
     scatter_idx = jnp.where(counts > 0, offsets, pair_capacity)  # OOB drops
     base_tile = (ty0 * tiles_x + tx0).astype(jnp.int32)
 
-    tile_bits = max(1, int(n_tiles).bit_length())
+    tile_bits = max(1, int(n_tiles).bit_length())  # holds values <= n_tiles
     span_bits = 8  # ntx <= 255 tiles across — 8k-wide screens at 32px tiles
+    tri_bits = max(1, int(n - 1).bit_length())
     half_bits = (tile_bits + 1) // 2
     # packed fill values must stay positive int32 (tri in the high bits keeps
-    # them monotone over the scatter order; base_tile is split into two
-    # half-width fills so even 2^14-tile screens fit)
+    # them monotone over the scatter order)
     assert (n << max(span_bits, half_bits)) <= (1 << 31) and n < (
         1 << 24
     ), "triangle count too large for packed binning keys"
 
-    # monotone forward-fills: tri id / run start / (tri|ntx) / (tri|base halves)
-    tri_of = jnp.clip(_fill(scatter_idx, tri_ids32, pair_capacity), 0, n - 1)
+    # Monotone forward-fills — 3 scatter+cummax passes in the common case
+    # (round-2 wave 5; each pass cost ~4.7 ms at 638k tris):
+    #   * run_start: offsets are already monotone, filled raw
+    #   * (tri | ntx): tri id rides the high bits — ALSO recovered from here
+    #     (>> span_bits), so the former dedicated tri fill is gone
+    #   * base_tile: one fill when tri_bits+tile_bits fits int31, else split
+    #     into two half-width fills (e.g. the 4096-tile sun map at >512k tris)
     run_start = jnp.maximum(_fill(scatter_idx, offsets, pair_capacity), 0)
     span_max = (1 << span_bits) - 1
-    ntx_fill = _fill(
+    ntx_packed = _fill(
         scatter_idx, (tri_ids32 << span_bits) | jnp.minimum(ntx, span_max),
         pair_capacity,
-    ) & span_max
-    half_max = (1 << half_bits) - 1
-    base_lo = _fill(
-        scatter_idx, (tri_ids32 << half_bits) | (base_tile & half_max),
-        pair_capacity,
-    ) & half_max
-    base_hi = _fill(
-        scatter_idx, (tri_ids32 << half_bits) | (base_tile >> half_bits),
-        pair_capacity,
-    ) & half_max
-    base_fill = (base_hi << half_bits) | base_lo
+    )
+    ntx_fill = ntx_packed & span_max
+    tri_of = jnp.clip(ntx_packed >> span_bits, 0, n - 1)
+    if tri_bits + tile_bits <= 31:
+        base_fill = _fill(
+            scatter_idx, (tri_ids32 << tile_bits) | base_tile, pair_capacity
+        ) & ((1 << tile_bits) - 1)
+    else:
+        half_max = (1 << half_bits) - 1
+        base_lo = _fill(
+            scatter_idx, (tri_ids32 << half_bits) | (base_tile & half_max),
+            pair_capacity,
+        ) & half_max
+        base_hi = _fill(
+            scatter_idx, (tri_ids32 << half_bits) | (base_tile >> half_bits),
+            pair_capacity,
+        ) & half_max
+        base_fill = (base_hi << half_bits) | base_lo
 
     p = jnp.arange(pair_capacity, dtype=jnp.int32)
     in_range = p < total
@@ -152,9 +164,16 @@ def bin_triangles(
     tile = base_fill + (m // ntx_p) * tiles_x + (m % ntx_p)
     tile = jnp.where(in_range, tile, n_tiles)  # overflow/invalid sorts last
 
-    # two-key lexicographic sort (tile, tri): per-tile order stays ascending
-    # by triangle id AND the id comes back gather-free
-    sort_tile, sort_tri = jax.lax.sort((tile, tri_of), num_keys=2)
+    # sort pairs by (tile, tri): per-tile order stays ascending by triangle id
+    # AND the id comes back gather-free.  One packed key when the bits fit
+    # (~2x cheaper than the two-key lexicographic sort), else two keys.
+    if tile_bits + tri_bits <= 31:
+        key = (tile << tri_bits) | tri_of
+        skey = jax.lax.sort(key)
+        sort_tile = skey >> tri_bits
+        sort_tri = skey & ((1 << tri_bits) - 1)
+    else:
+        sort_tile, sort_tri = jax.lax.sort((tile, tri_of), num_keys=2)
 
     # per-tile segment starts into the sorted pair array
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)

@@ -222,13 +222,24 @@ def lighting_pass(
     if cfg.enable_light_shafts and cfg.enable_shadows:
         ks_ = cfg.shaft_res_divisor
         n_s, _, pw_s, _, noises_s = sub_inputs(ks_)
-        shafts = shadow.light_shafts(
-            res.sun_depth, glob.sun_from_world, glob.camera_pos,
-            pw_s, n_s, noises_s[0],
-            sun_emission, cfg.light_shaft_intensity,
-            cfg.shadow_normal_offset, max_steps=cfg.light_shaft_steps * 3,
-            wdepth=wdepth,
-        )
+        if cfg.light_shaft_mode == "polar":
+            shafts = shadow.light_shafts_polar(
+                res.sun_depth, glob.sun_from_world, glob.camera_pos,
+                pw_s, n_s, noises_s[0],
+                sun_emission, cfg.light_shaft_intensity,
+                cfg.shadow_normal_offset,
+                max_steps=cfg.light_shaft_steps * 3,
+                n_theta=cfg.shaft_polar_thetas,
+                n_r=cfg.light_shaft_steps * 3,
+            )
+        else:
+            shafts = shadow.light_shafts(
+                res.sun_depth, glob.sun_from_world, glob.camera_pos,
+                pw_s, n_s, noises_s[0],
+                sun_emission, cfg.light_shaft_intensity,
+                cfg.shadow_normal_offset, max_steps=cfg.light_shaft_steps * 3,
+                wdepth=wdepth,
+            )
         outgoing = outgoing + _up(shafts, h, w)
 
     # --- split-sum weights (glsl:681) -------------------------------------

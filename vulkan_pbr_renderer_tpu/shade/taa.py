@@ -83,17 +83,46 @@ def taa_resolve(
     uv = jnp.stack([jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w))], -1)
     reproj_uv = uv - vel * 0.5
 
-    # f16 packs: the reference's velocity/history RTs are 16-bit float
-    # (render.cpp:693-697).  History uses a 2x2 window + the 5-tap Catmull-Rom
-    # (sample_catmull_rom_window5): the 4x4 window table was 200 MB at 1080p —
-    # past XLA's VMEM-promotion size, so its single gather ran at ~24 M rows/s
-    # (95 ms/frame, round-2 hlo_stats); five 24-byte rows from the promoted
-    # 50 MB table are several times cheaper.
+    # History resample in YCoCg, split by what the eye needs (the gather-rate
+    # ceiling is ~170 M rows/s for <=32-byte rows and wide rows degrade —
+    # docs/microbench_gather2.py — so the 4x4 f16 RGB window (96B rows from a
+    # 200 MB table) and even the 2x2 5-tap (5 x 24B rows) are both slow):
+    #  * luma: full 16-tap Catmull-Rom from a 4x4 window of sqrt-compressed
+    #    u16 ([H,W,16], 32B rows, 67 MB -> VMEM-promoted), decoded per texel
+    #    before weighting — sharpness lives in luma;
+    #  * chroma: bilinear CoCg from a 2x2 f16 window ([H,W,8], 16B rows).
+    # 2 gather rows/pixel total.  The reference's RGB Catmull
+    # (taa_resolve.glsl:125-174) differs only by the chroma filter.
     wvel = sampling.window_pack(velocity_prev, 2, 2, dtype=jnp.float16)
     prev_vel = sampling.sample_bilinear_window(wvel, h, w, reproj_uv, 2)
     if catmull_history:
-        whist = sampling.window_pack(history, 2, 2, dtype=jnp.float16)
-        prev_color = sampling.sample_catmull_rom_window5(whist, h, w, reproj_uv, 3)
+        y = (0.25 * history[..., 0] + 0.5 * history[..., 1]
+             + 0.25 * history[..., 2])
+        co = 0.5 * history[..., 0] - 0.5 * history[..., 2]
+        cg = (-0.25 * history[..., 0] + 0.5 * history[..., 1]
+              - 0.25 * history[..., 2])
+        y_pos = jnp.maximum(y, 0.0)   # variance clip can dip history <0
+        y_enc = jnp.sqrt(y_pos / (1.0 + y_pos))
+        y_u16 = jnp.clip(jnp.round(y_enc * 65535.0), 0.0, 65534.0).astype(jnp.uint16)
+        wluma = sampling.window_pack(y_u16[..., None], 4, 4)
+        wchroma = sampling.window_pack(
+            jnp.stack([co, cg], -1), 2, 2, dtype=jnp.float16
+        )
+
+        def dec(v):
+            e = v * (1.0 / 65535.0)
+            e2 = e * e
+            return e2 / jnp.maximum(1.0 - e2, 1.0 / 65536.0)
+
+        y_s = sampling.sample_catmull_rom_window_decode(
+            wluma, h, w, reproj_uv, 1, decode=dec
+        )[..., 0]
+        y_s = jnp.maximum(y_s, 0.0)   # Catmull undershoot
+        ch = sampling.sample_bilinear_window(wchroma, h, w, reproj_uv, 2)
+        co_s, cg_s = ch[..., 0], ch[..., 1]
+        prev_color = jnp.stack(
+            [y_s + co_s - cg_s, y_s + cg_s, y_s - co_s - cg_s], -1
+        )
     else:
         prev_color = sampling.sample_bilinear(history, reproj_uv)
     prev_color = jnp.clip(prev_color, minc, maxc)
