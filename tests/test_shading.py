@@ -258,6 +258,63 @@ def test_sample_radiance_sees_lit_voxel():
     assert out[0].max() > 0.0
 
 
+def test_sample_radiance_fast_multisample():
+    """Fast GI: farther fog-weighted samples pick up radiance beyond the
+    first (near-field) sample, and transmittance blocks samples behind
+    occluders."""
+    n = 32
+    grid = np.zeros((n, n, n, 4), np.float32)
+    grid[:, :, 8:13, :3] = 4.0       # radiant fog slab at x 8..12 (open)
+    g = jnp.asarray(grid)
+    # ray starts in empty space at voxel ~1; the skip stops after 1 step, so
+    # samples land at voxels ~2.6 / 5.6 / 8.6 (spread 3): only the third
+    # reaches the slab
+    ro = jnp.array([[-0.9, 0.0, 0.0]])
+    rd = jnp.array([[1.0, 0.0, 0.0]])
+    one = np.asarray(gi.sample_radiance_fast(g, ro, rd, 1.0, n_samples=1)[0])
+    multi = np.asarray(gi.sample_radiance_fast(g, ro, rd, 1.0, n_samples=3,
+                                               sample_spread=3.0)[0])
+    assert multi[0].max() > one[0].max()    # far samples add the slab's light
+    # opaque wall between: the middle sample's occupancy must kill the far
+    # sample's contribution (transmittance gating)
+    grid2 = grid.copy()
+    grid2[:, :, 5:8, 3] = 0.5
+    multi_blocked = np.asarray(gi.sample_radiance_fast(
+        jnp.asarray(grid2), ro, rd, 1.0, n_samples=3, sample_spread=3.0)[0])
+    assert multi_blocked[0].max() < 1e-5
+
+
+def test_screen_probe_hit_semantics():
+    """The fast-GI screen probe reports a hit only when the projected open
+    point lands on-screen BEHIND visible geometry, and returns the prev-frame
+    color there (lighting_pass.glsl:371-384 resolve analog)."""
+    from vulkan_pbr_renderer_tpu.gpu import sampling as S
+    from vulkan_pbr_renderer_tpu.utils import math3d as m3
+
+    h, w = 32, 32
+    clip_from_world = m3.perspective_lh_zo(1.0, 1.0, 0.1, 100.0)  # cam at 0, +z fwd...
+    # use a simple look-down-+Y view instead: identity view, project +Z fwd
+    view = m3.look_at(jnp.array([0.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]),
+                      jnp.array([0.0, 0.0, 1.0]))
+    cfw = clip_from_world @ view
+    # LH_ZO depth is strongly nonlinear (near=0.1, far=100): geometry plane
+    # at ndc z 0.9 corresponds to view distance ~1.0
+    depth = jnp.full((h, w), 0.9)
+    prev = jnp.ones((h, w, 3)) * jnp.array([2.0, 1.0, 0.5])
+    wprev = S.window_pack(prev, 2, 2, dtype=jnp.float16)
+
+    # world points along +Y (view fwd): one in FRONT of the depth surface
+    # (y=0.5 -> ndc z 0.80), one BEHIND it (y=5 -> 0.98), one off-screen
+    pts = jnp.array([[0.0, 0.5, 0.0],
+                     [0.0, 5.0, 0.0],
+                     [80.0, 1.0, 0.0]])
+    hit, rgb = gi.screen_probe(pts, 1.0, cfw, depth, wprev, (h, w), 0.75)
+    hit = np.asarray(hit)
+    assert not hit[0] and hit[1] and not hit[2]
+    np.testing.assert_allclose(np.asarray(rgb)[1], [1.5, 0.75, 0.375],
+                               rtol=1e-2)
+
+
 def test_sample_radiance_blocked_returns_zero():
     n = 16
     grid = np.zeros((n, n, n, 4), np.float32)

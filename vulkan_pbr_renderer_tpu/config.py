@@ -57,8 +57,14 @@ class RenderConfig:
     gi_res_divisor: int = 2
     shaft_res_divisor: int = 4
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
-    # 'fast': irradiance-cache sampling of the swept grid (~20x fewer gathers)
+    # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
+    gi_fast_skip_steps: int = 4            # blockage skip, matches glsl:280-288
+    gi_fast_open_thresh: float = 0.3
+    gi_fast_samples: int = 3               # fog-weighted samples along the ray
+    gi_fast_sample_spread: float = 3.0     # voxels between extra samples
+    gi_fast_screen_probe: bool = True      # one-probe prev-frame bounce
+    gi_fast_probe_margin: float = 5e-5     # ndc-z hit margin for the probe
 
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001

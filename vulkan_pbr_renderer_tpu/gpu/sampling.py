@@ -533,12 +533,11 @@ def sample_catmull_rom_window5(w2tex, base_h, base_w, uv, channels):
 
     MJP's optimized bicubic drops the 4 corner taps of the 9-bilinear-tap
     formulation and renormalizes (their combined weight (w0+w3)_x*(w0+w3)_y is
-    <2% for all fractional positions).  Replaces the 4x4 window pack for the
-    TAA history resample: that table was [H,W,48] f16 = 200 MB at 1080p — past
-    XLA's VMEM-promotion size, gathered at ~24 M rows/s (95 ms/frame, round-2
-    hlo_stats); the 2x2 pack is 50 MB and promotes, so 5 rows cost less than
-    the one slow row.  Matches SampleHistoryTextureCatmullRom
-    (taa_resolve.glsl:125-174) to within the dropped-corner error."""
+    <2% for all fractional positions).  Matches SampleHistoryTextureCatmullRom
+    (taa_resolve.glsl:125-174) to within the dropped-corner error.  Library
+    sampler; the TAA history resample itself moved on to the YCoCg split
+    (shade/taa.py) — 5 narrow rows still measured slower than 2 wider ones
+    (docs/microbench_gather2.py)."""
     tex_size = jnp.array([base_w, base_h], jnp.float32)
     sample_pos = uv * tex_size
     t1 = jnp.floor(sample_pos - 0.5) + 0.5

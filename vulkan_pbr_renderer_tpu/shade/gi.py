@@ -313,24 +313,74 @@ def _tone(sum4):
     return colorlib.tone_compress_sqrt(mean)
 
 
-def sample_radiance_fast(grid, ro_world, rd_unit, lightgrid_scale, dist_voxels=2.5):
+def sample_radiance_fast(grid, ro_world, rd_unit, lightgrid_scale,
+                         dist_voxels=2.5, skip_steps=4, open_thresh=0.3,
+                         n_samples=1, sample_spread=3.5):
     """Irradiance-cache GI: the swept lightgrid already holds propagated
     radiance in every empty voxel (sweep_lightgrid), so instead of the
     reference's ~40-step hybrid march we take one tone-compressed trilinear
-    sample a couple of voxels along the ray (after a 2-step blockage skip).
-    ~20x fewer gathers than sample_radiance_with_screen_trace; the TPU-fast
+    sample a couple of voxels along the ray, after a blockage skip matching
+    the reference's phase A (4 steps at open threshold 0.3,
+    lighting_pass.glsl:280-288 — the round-2 2-step/0.5 variant left thick
+    shadowed geometry black where the skip gave up, SSIM 0.85 vs reference).
+    ~10x fewer gathers than sample_radiance_with_screen_trace; the TPU-fast
     default (config.gi_mode='fast'); 'reference' keeps the full march."""
     gsize = grid.shape[0]
     voxel_scale = 2.0 / gsize
     rd = rd_unit * voxel_scale
     ro = ro_world * lightgrid_scale
 
-    ro, sum4, found = _skip_blockage(grid, ro, rd, steps=2, open_thresh=0.5)
-    s = grid_sample(grid, ro + rd * (dist_voxels - 2.0))
-    open_w = jnp.clip((0.5 - s[..., 3:4]) * 4.0, 0.0, 1.0)
-    rgb = colorlib.tone_compress_sqrt(s[..., :3])
+    ro, sum4, found = _skip_blockage(grid, ro, rd, steps=skip_steps,
+                                     open_thresh=open_thresh)
+    # seed with the first-open voxel's radiance — the march seeds its sum
+    # with phase A's sample too (glsl:288 -> 399), and near-emitter voxels
+    # carry the warm glow the far samples miss (round-2 A/B diff)
+    acc_rgb = sum4[..., :3]
+    acc_w = jnp.minimum(sum4[..., 3:4], 1.0)
+    trans = 1.0
+    for k in range(max(1, n_samples)):
+        s = grid_sample(grid, ro + rd * (dist_voxels - 2.0 + k * sample_spread))
+        open_k = jnp.clip((0.5 - s[..., 3:4]) * 4.0, 0.0, 1.0)
+        acc_rgb = acc_rgb + trans * open_k * s[..., :3]
+        acc_w = acc_w + trans * open_k
+        trans = trans * open_k     # occluders attenuate farther samples
+    rgb = colorlib.tone_compress_sqrt(acc_rgb / jnp.maximum(acc_w, 1e-4))
     blocked = sum4[..., 3:4] < 0.5
-    return jnp.where(blocked, 0.0, rgb * open_w)
+    return jnp.where(blocked, 0.0, rgb * jnp.minimum(acc_w, 1.0)), ro
+
+
+def screen_probe(open_grid_ndc, lightgrid_scale, clip_from_world, depth_tex,
+                 wprev, prev_hw, ss_intensity, z_margin=2e-4):
+    """One-probe screen-space bounce for the fast GI path.
+
+    The reference's hybrid trace resolves to the PREVIOUS FRAME's radiance
+    where the GI ray crosses visible geometry (lighting_pass.glsl:371-384) —
+    that term carries most of the warm bounce light the pure voxel lookup
+    misses (measured: fast-vs-reference SSIM 0.85, diff concentrated on
+    shadowed surfaces near emitters).  Instead of the 24-step march, project
+    the ray's first-open point once: if it lands on-screen BEHIND the visible
+    surface, the ray hit that surface — take the prev-frame color there.
+
+    Cost: 2 gather rows per call (nearest depth + one bilinear window row of
+    the quarter-res prev pyramid level).  Returns (hit mask [...], rgb).
+    Known approximation: a point merely OCCLUDED from the camera (not on the
+    ray's path) can false-hit — local color bleeding the reference's
+    translucency boost also exhibits in milder form; TAA integrates it.
+    """
+    from ..utils import math3d as m3
+
+    open_world = open_grid_ndc / lightgrid_scale
+    p4 = m3.transform_points(clip_from_world, open_world)
+    w = p4[..., 3]
+    ndc = p4[..., :3] / jnp.where(jnp.abs(w[..., None]) < 1e-8, 1e-8,
+                                  w[..., None])
+    uv = ndc[..., :2] * 0.5 + 0.5
+    onscreen = (w > 0.0) & jnp.all(jnp.abs(ndc[..., :2]) < 1.0, axis=-1)
+    d_scene = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
+    hit = onscreen & (ndc[..., 2] > d_scene + z_margin) & (d_scene < 1.0)
+    prev = sampling.sample_bilinear_window(wprev, prev_hw[0], prev_hw[1],
+                                           uv, 3)
+    return hit, prev * ss_intensity
 
 
 def sample_radiance(grid, ro_world, rd_unit, lightgrid_scale, num_steps=12, step_scale=1.0):

@@ -262,10 +262,36 @@ def lighting_pass(
         nd, roughd, pwd, pvd, (n1d, n2d, n3d) = sub_inputs(kg)
         vd = m3.normalize(glob.camera_pos - pwd)
         bent = bent_normal_cosine(nd, n1d, n3d)
+        fast_kw = dict(
+            skip_steps=cfg.gi_fast_skip_steps,
+            open_thresh=cfg.gi_fast_open_thresh,
+            n_samples=cfg.gi_fast_samples,
+            sample_spread=cfg.gi_fast_sample_spread,
+        )
+        if cfg.gi_mode == "fast" and cfg.gi_fast_screen_probe:
+            # quarter-res prev-frame level for the screen probe: one bilinear
+            # window row per probe (gi.screen_probe rationale)
+            offs, _ = sampling.mip_offsets(fh // 2, w // 2,
+                                           cfg.bloom_pass_count)
+            plh, plw = fh // 4, w // 4
+            prev_lvl = res.prev_frame_atlas[:plh, offs[1]:offs[1] + plw]
+            wprev = sampling.window_pack(prev_lvl, 2, 2, dtype=jnp.float16)
+
+            def probe(ro_open, ss_intensity):
+                return gi.screen_probe(
+                    ro_open, cfg.lightgrid_scale, glob.clip_from_world,
+                    trace_depth, wprev, (plh, plw), ss_intensity,
+                    z_margin=cfg.gi_fast_probe_margin,
+                )
+        else:
+            probe = None
         if cfg.gi_mode == "fast":
-            ambient = gi.sample_radiance_fast(
-                wgrid, pwd, bent, cfg.lightgrid_scale
+            ambient, ro_open = gi.sample_radiance_fast(
+                wgrid, pwd, bent, cfg.lightgrid_scale, **fast_kw
             )
+            if probe is not None:
+                hit, ss_rgb = probe(ro_open, cfg.gi_diffuse_ss_intensity)
+                ambient = jnp.where(hit[..., None], ss_rgb, ambient)
         else:
             ambient = gi.sample_radiance_with_screen_trace(
                 wgrid, trace_depth, res.prev_frame_atlas,
@@ -291,9 +317,12 @@ def lighting_pass(
         r = r + (nd - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
         spec_fog = roughd if cfg.gi_specular_foggyness_is_roughness else 0.9
         if cfg.gi_mode == "fast":
-            spec = gi.sample_radiance_fast(
-                wgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0
+            spec, ro_open_s = gi.sample_radiance_fast(
+                wgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0, **fast_kw
             )
+            if probe is not None:
+                hit_s, ss_rgb_s = probe(ro_open_s, cfg.gi_specular_ss_intensity)
+                spec = jnp.where(hit_s[..., None], ss_rgb_s, spec)
         else:
             spec = gi.sample_radiance_with_screen_trace(
                 wgrid, trace_depth, res.prev_frame_atlas,
