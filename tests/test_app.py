@@ -69,3 +69,27 @@ def test_shader_watcher_detects_change(tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
         sys.modules.pop("fake_shade_mod", None)
+
+
+def test_init_devices_retries(monkeypatch):
+    """SURVEY §5 failure plan: transient backend-init failures retry."""
+    import jax
+
+    from vulkan_pbr_renderer_tpu.gpu import device
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient init failure")
+        return ["dev0"]
+
+    monkeypatch.setattr(jax, "devices", flaky)
+    assert device.init_devices(retries=3, delay_s=0.0) == ["dev0"]
+    assert calls["n"] == 3
+    calls["n"] = -99  # always fails from here (< 3 forever)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="after 2 attempts"):
+        device.init_devices(retries=2, delay_s=0.0)

@@ -124,8 +124,10 @@ def main(argv=None):
     ap.add_argument("--texture-size", type=int, default=256)
     args = ap.parse_args(argv)
 
+    from ..gpu import device
     from .renderer import Renderer
 
+    device.init_devices()  # retry transient TPU/tunnel init failures
     cfg = RenderConfig(width=args.width, height=args.height)
     if args.no_gi:
         cfg = cfg.replace(enable_gi=False)

@@ -233,9 +233,11 @@ def main(argv=None):
                     help="reload shade/ modules on change (main.cpp:81)")
     args = ap.parse_args(argv)
 
+    from ..gpu import device
     from .headless import build_scene_by_name
     from .renderer import Renderer
 
+    device.init_devices()  # retry transient TPU/tunnel init failures
     cfg = RenderConfig(width=args.width, height=args.height)
     scene = build_scene_by_name(args.scene, detail=args.detail,
                                 texture_size=args.texture_size)

@@ -12,6 +12,28 @@ import jax
 import numpy as np
 
 
+def init_devices(retries: int = 3, delay_s: float = 2.0):
+    """First device contact with retry on transient runtime-init failures
+    (SURVEY §5 failure-detection plan: the TPU tunnel / plugin can fail
+    transiently at startup the way Vulkan device creation can; the reference
+    only ever asserts, gpu_vulkan.c:387-392 — we retry then surface).
+    Returns jax.devices().  Used by the headless/preview entry points; safe
+    to call again once initialized (jax caches the backend)."""
+    import time
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:  # backend init failures surface as RuntimeError
+            last = e
+            if attempt + 1 < retries:
+                time.sleep(delay_s * (attempt + 1))
+    raise RuntimeError(
+        f"device init failed after {retries} attempts: {last}"
+    ) from last
+
+
 def backend() -> str:
     return jax.default_backend()
 

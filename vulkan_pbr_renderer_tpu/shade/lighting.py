@@ -356,9 +356,34 @@ def lighting_pass(
     # Sampled at mip 0 (the roughness-0 prefilter level == the raw env map):
     # the reference draws the skybox geometry with the full-res env texture
     # (render.cpp:1103-1115), so the sky must be crisp, not a blurred mip.
+    # Computed at HALF res from analytic pixel-ray directions (no gathers for
+    # the inputs) and bilinearly upsampled: at 1080p one 256^2 env texel
+    # covers ~7 screen pixels, so half-res sampling loses nothing while
+    # halving^2 the 2M-row fetch (11 ms in the round-2 wave-3 profile).
     out_of_bounds = jnp.any(jnp.abs(p_world) > cfg.world_bounds, axis=-1) | ~g.coverage
     env_size = res.prefiltered_env.shape[1]
-    sky = sampling.sample_cubemap_level_window(res.prefiltered_env, env_size, -v, 0)
+    if h % 2 == 0 and w % 2 == 0:
+        hu = (jnp.arange(w // 2, dtype=jnp.float32)[None, :] * 2 + 1.0) / w
+        hv = (jnp.arange(h // 2, dtype=jnp.float32)[:, None] * 2
+              + row_offset + 1.0) / fh
+        ndc_far = jnp.stack(
+            [
+                jnp.broadcast_to(hu * 2.0 - 1.0, (h // 2, w // 2)),
+                jnp.broadcast_to(hv * 2.0 - 1.0, (h // 2, w // 2)),
+                jnp.full((h // 2, w // 2), 0.5),
+            ],
+            -1,
+        )
+        far4 = m3.transform_points(glob.world_from_clip, ndc_far)
+        ray = far4[..., :3] / far4[..., 3:4] - glob.camera_pos
+        sky_h = sampling.sample_cubemap_level_window(
+            res.prefiltered_env, env_size, ray, 0
+        )
+        sky = _up(sky_h, h, w)
+    else:
+        sky = sampling.sample_cubemap_level_window(
+            res.prefiltered_env, env_size, -v, 0
+        )
     outgoing = jnp.where(out_of_bounds[..., None], sky, outgoing)
 
     return jnp.maximum(outgoing, 0.0)
