@@ -362,7 +362,10 @@ def lighting_pass(
     # halving^2 the 2M-row fetch (11 ms in the round-2 wave-3 profile).
     out_of_bounds = jnp.any(jnp.abs(p_world) > cfg.world_bounds, axis=-1) | ~g.coverage
     env_size = res.prefiltered_env.shape[1]
-    if h % 2 == 0 and w % 2 == 0:
+    # full-res in the row-sharded frame (fh > h): the half-res upsample would
+    # edge-clamp at shard boundaries and seam vs the single-chip image —
+    # the same reason parallel/sharding.py forces the GI/shaft divisors to 1
+    if h % 2 == 0 and w % 2 == 0 and fh == h:
         hu = (jnp.arange(w // 2, dtype=jnp.float32)[None, :] * 2 + 1.0) / w
         hv = (jnp.arange(h // 2, dtype=jnp.float32)[:, None] * 2
               + row_offset + 1.0) / fh
