@@ -169,6 +169,26 @@ def test_pcf_window2_matches_scalar_taps():
     np.testing.assert_allclose(got, expect, atol=2e-5)
 
 
+def test_pcf_window_split_matches_scalar_taps():
+    rng = np.random.default_rng(14)
+    depth = jnp.asarray(
+        (rng.integers(0, 65536, (64, 64)) / 65535.0).astype(np.float32)
+    )
+    uv = jnp.asarray(rng.uniform(0.15, 0.85, (400, 2)).astype(np.float32))
+    ref_z = jnp.asarray(rng.random(400).astype(np.float32))
+    s = 64
+    expect = 0.0
+    for (ox, oy) in PCF_OFFSETS:
+        expect = expect + S.sample_depth_compare(
+            depth, uv + jnp.array([ox / s, oy / s]), ref_z
+        )
+    expect = np.asarray(expect) * 0.25
+    wa, wb = S.pack_depth_window_u16_4x4_split(depth)
+    got = np.asarray(S.sample_pcf4_window_split(wa, wb, s, uv, ref_z,
+                                                PCF_OFFSETS))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
 def test_catmull5_window_close_to_full_catmull():
     """5-tap approx: dropped corner weight is <2% of the kernel — the result
     must track the full 16-tap Catmull-Rom closely and beat bilinear."""

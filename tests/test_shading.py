@@ -219,21 +219,12 @@ def test_taa_ycocg_history_close_to_rgb_catmull():
         (jnp.arange(w) + 0.5) / w, (jnp.arange(h) + 0.5) / h,
         indexing="xy"), -1) - vel * 0.5
     ref_y = np.asarray(S.sample_catmull_rom(y[..., None], uv))[..., 0]
-    y_pos = jnp.maximum(y, 0.0)
-    enc = jnp.sqrt(y_pos / (1.0 + y_pos))
-    u16 = jnp.clip(jnp.round(enc * 65535.0), 0, 65534).astype(jnp.uint16)
-    wl = S.window_pack(u16[..., None], 4, 4)
-
-    def dec(v):
-        e = v * (1.0 / 65535.0)
-        e2 = e * e
-        return e2 / jnp.maximum(1.0 - e2, 1.0 / 65536.0)
-
+    wl = S.window_pack(y[..., None], 4, 4, dtype=jnp.float16)
     got_y = np.asarray(S.sample_catmull_rom_window_decode(
-        wl, h, w, uv, 1, decode=dec))[..., 0]
+        wl, h, w, uv, 1))[..., 0]
     interior = np.s_[4:-4, 4:-4]
     np.testing.assert_allclose(got_y[interior], ref_y[interior],
-                               rtol=0.02, atol=0.005)
+                               rtol=0.005, atol=0.002)
 
 
 # ---------------------------------------------------------------------------

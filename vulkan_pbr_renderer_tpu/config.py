@@ -33,6 +33,9 @@ class RenderConfig:
     sun_emission_scale: float = 25.0       # lighting_pass.glsl:616
     voxelize_sun_emission_scale: float = 5.0  # lightgrid_voxelize.glsl:102
     shadow_normal_offset: float = 0.1      # lighting_pass.glsl:596
+    # 'taps4': 4 one-row taps from the 2x2 u16 window pack; 'split4x4': 2
+    # wider rows from the split 4x4 pack (sampling.py) — measured on TPU
+    pcf_mode: str = "split4x4"
 
     # --- lightgrid GI (render.cpp:7,678; lightgrid_sweep.glsl) ------------
     lightgrid_size: int = 128
@@ -59,9 +62,10 @@ class RenderConfig:
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
-    gi_fast_skip_steps: int = 4            # blockage skip, matches glsl:280-288
+    gi_fast_skip_steps: int = 3            # blockage skip (4 matches glsl:280-288;
+                                           # 3 measured SSIM-neutral, -10 ms)
     gi_fast_open_thresh: float = 0.3
-    gi_fast_samples: int = 3               # fog-weighted samples along the ray
+    gi_fast_samples: int = 2               # fog-weighted samples along the ray
     gi_fast_sample_spread: float = 3.0     # voxels between extra samples
     gi_fast_screen_probe: bool = True      # one-probe prev-frame bounce
     gi_fast_probe_margin: float = 5e-5     # ndc-z hit margin for the probe

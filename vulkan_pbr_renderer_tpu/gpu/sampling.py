@@ -678,6 +678,68 @@ def sample_mip_atlas_array_window(atlas, layer, uv, lod, channels, mode="wrap"):
     return s0 + (s1 - s0) * fl
 
 
+def pack_depth_window_u16_4x4_split(depth):
+    """[S,S] depth -> TWO u16 tables [S,S,8]: the top half (window rows 0-1)
+    and bottom half (rows 2-3) of each texel's 4x4 window.  One PCF
+    evaluation = 2 gather rows of 16 B (vs 4 rows of 8 B from the 2x2 pack) —
+    16 B rows hit the u16 gather sweet spot (176 M rows/s,
+    docs/microbench_gather2.py) and each 67 MB table still VMEM-promotes."""
+    q = jnp.clip(jnp.round(depth * 65535.0), 0.0, 65535.0).astype(jnp.uint16)
+    wp = window_pack(q[..., None], 4, 4)
+    return wp[..., 0:8], wp[..., 8:16]
+
+
+def sample_pcf4_window_split(wa, wb, base_size, uv, ref, offsets):
+    """4-tap bilinear PCF from the split 4x4 window pack — TWO gather rows."""
+    s = base_size
+    p = uv * s - 0.5
+    base_x = jnp.clip(jnp.floor(p[..., 0]).astype(jnp.int32) - 1, 0, s - 4)
+    base_y = jnp.clip(jnp.floor(p[..., 1]).astype(jnp.int32) - 1, 0, s - 4)
+    idx = base_y * s + base_x
+    row_a = jnp.take(wa.reshape(s * s, 8), idx, axis=0)
+    row_b = jnp.take(wb.reshape(s * s, 8), idx, axis=0)
+    row = jnp.concatenate([_dequant_depth_row(row_a),
+                           _dequant_depth_row(row_b)], -1)
+    return _pcf4_eval(row, base_x, base_y, p, ref, offsets)
+
+
+def _pcf4_eval(row, base_x, base_y, p, ref, offsets):
+    """Shared 4-tap evaluation over a gathered 16-channel 4x4 window row."""
+    T = [[row[..., i * 4 + j] for j in range(4)] for i in range(4)]
+    cmp = [[(ref < T[i][j]).astype(jnp.float32) for j in range(4)] for i in range(4)]
+
+    vis = 0.0
+    for (ox, oy) in offsets:
+        tx = p[..., 0] + ox
+        ty = p[..., 1] + oy
+        x0 = jnp.floor(tx).astype(jnp.int32)
+        y0 = jnp.floor(ty).astype(jnp.int32)
+        fx = tx - x0.astype(jnp.float32)
+        fy = ty - y0.astype(jnp.float32)
+        ux = jnp.clip(x0 - base_x, 0, 2)
+        uy = jnp.clip(y0 - base_y, 0, 2)
+
+        def pick(dy, dx):
+            def col(j):
+                return jnp.where(
+                    uy == 0, cmp[0 + dy][j],
+                    jnp.where(uy == 1, cmp[1 + dy][j], cmp[2 + dy][j]),
+                )
+            return jnp.where(
+                ux == 0, col(0 + dx),
+                jnp.where(ux == 1, col(1 + dx), col(2 + dx)),
+            )
+
+        c00 = pick(0, 0)
+        c10 = pick(0, 1)
+        c01 = pick(1, 0)
+        c11 = pick(1, 1)
+        top = c00 + (c10 - c00) * fx
+        bot = c01 + (c11 - c01) * fx
+        vis = vis + top + (bot - top) * fy
+    return vis / len(offsets)
+
+
 def sample_pcf4_window(wdepth, base_size, uv, ref, offsets):
     """4-tap bilinear PCF from a 4x4 window_pack — ONE gather row.
     Equivalent to averaging sample_depth_compare over the taps (interior)."""

@@ -201,15 +201,22 @@ def lighting_pass(
         return nd, roughd, pwd, pvd, noises
 
     # --- sun shadow + direct light (glsl:592-679) -------------------------
-    wdepth = (sampling.pack_depth_window_u16(res.sun_depth)
-              if cfg.enable_shadows else None)
-    if cfg.enable_shadows:
+    if not cfg.enable_shadows:
+        wdepth = None
+        vis = jnp.ones((h, w), jnp.float32)
+    else:
+        if cfg.pcf_mode == "split4x4":
+            wdepth_pcf = sampling.pack_depth_window_u16_4x4_split(res.sun_depth)
+        else:
+            wdepth_pcf = sampling.pack_depth_window_u16(res.sun_depth)
+        # the march-mode shaft sampler needs the single-table 2x2 pack
+        wdepth = (wdepth_pcf if not isinstance(wdepth_pcf, tuple)
+                  else sampling.pack_depth_window_u16(res.sun_depth)
+                  if cfg.light_shaft_mode == "march" else None)
         vis = shadow.sun_visibility(
             res.sun_depth, glob.sun_from_world, p_world, n, noise_1, noise_2,
-            cfg.shadow_normal_offset, wdepth=wdepth,
+            cfg.shadow_normal_offset, wdepth=wdepth_pcf,
         )
-    else:
-        vis = jnp.ones((h, w), jnp.float32)
 
     l = -glob.sun_direction
     direct = brdf.cook_torrance_direct(

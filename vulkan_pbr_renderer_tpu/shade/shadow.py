@@ -59,6 +59,10 @@ def sun_visibility(sun_depth, sun_space_from_world, world_pos, normal,
     ref = sun_p[..., 2]
     # per-pixel jitter of the tap centre (glsl:600)
     uv = uv + 2.0 * jnp.stack([noise_2 - 0.5, noise_1 - 0.5], -1) * px
+    if isinstance(wdepth, tuple):       # split 4x4 pack: 2 gather rows
+        return sampling.sample_pcf4_window_split(
+            wdepth[0], wdepth[1], s, uv, ref, PCF_OFFSETS
+        )
     if wdepth is not None and wdepth.shape[-1] == 4:
         vis = 0.0
         for (ox, oy) in PCF_OFFSETS:

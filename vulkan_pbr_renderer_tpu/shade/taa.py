@@ -87,9 +87,9 @@ def taa_resolve(
     # ceiling is ~170 M rows/s for <=32-byte rows and wide rows degrade —
     # docs/microbench_gather2.py — so the 4x4 f16 RGB window (96B rows from a
     # 200 MB table) and even the 2x2 5-tap (5 x 24B rows) are both slow):
-    #  * luma: full 16-tap Catmull-Rom from a 4x4 window of sqrt-compressed
-    #    u16 ([H,W,16], 32B rows, 67 MB -> VMEM-promoted), decoded per texel
-    #    before weighting — sharpness lives in luma;
+    #  * luma: full 16-tap Catmull-Rom from a 4x4 window of f16 luma
+    #    ([H,W,16], 32B rows, 67 MB -> VMEM-promoted) — sharpness lives in
+    #    luma;
     #  * chroma: bilinear CoCg from a 2x2 f16 window ([H,W,8], 16B rows).
     # 2 gather rows/pixel total.  The reference's RGB Catmull
     # (taa_resolve.glsl:125-174) differs only by the chroma filter.
@@ -101,21 +101,19 @@ def taa_resolve(
         co = 0.5 * history[..., 0] - 0.5 * history[..., 2]
         cg = (-0.25 * history[..., 0] + 0.5 * history[..., 1]
               - 0.25 * history[..., 2])
-        y_pos = jnp.maximum(y, 0.0)   # variance clip can dip history <0
-        y_enc = jnp.sqrt(y_pos / (1.0 + y_pos))
-        y_u16 = jnp.clip(jnp.round(y_enc * 65535.0), 0.0, 65534.0).astype(jnp.uint16)
-        wluma = sampling.window_pack(y_u16[..., None], 4, 4)
+        # f16 luma: log-distributed 0.05% relative precision at every scale —
+        # exactly the reference's RGBA16F RT precision — and decode-free.
+        # (Two compressed-u16 schemes lost to it: y/(1+y) needed a divide per
+        # decoded texel = 9.4 ms/frame of VPU division, and sqrt-scale had
+        # 0.36% low-end steps that amplified benign fp noise past the
+        # sharded-parity tolerance.)
+        wluma = sampling.window_pack(y[..., None], 4, 4, dtype=jnp.float16)
         wchroma = sampling.window_pack(
             jnp.stack([co, cg], -1), 2, 2, dtype=jnp.float16
         )
 
-        def dec(v):
-            e = v * (1.0 / 65535.0)
-            e2 = e * e
-            return e2 / jnp.maximum(1.0 - e2, 1.0 / 65536.0)
-
         y_s = sampling.sample_catmull_rom_window_decode(
-            wluma, h, w, reproj_uv, 1, decode=dec
+            wluma, h, w, reproj_uv, 1
         )[..., 0]
         y_s = jnp.maximum(y_s, 0.0)   # Catmull undershoot
         ch = sampling.sample_bilinear_window(wchroma, h, w, reproj_uv, 2)
