@@ -117,7 +117,8 @@ def main():
             rq = Renderer(qcfg.replace(gi_mode=mode), scene,
                           raster_backend=backend)
             img = None
-            for k in range(3):  # settle GI sweep + TAA
+            for k in range(4):  # settle the 3-axis GI sweep + TAA + the
+                                # prev-frame pyramid the screen terms read
                 img = rq.render(cam_q, sun_angle=(35.0 + 0.001 * k, 80.0))
             imgs[mode] = np.asarray(img)
         out["gi_fast_ssim_vs_reference"] = round(

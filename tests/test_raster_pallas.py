@@ -79,6 +79,24 @@ def test_scene_raster_through_pipeline():
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_got))
 
 
+def test_folded_hiz_matches_xla_exactly():
+    """hiz (front-to-back + early-exit) must be EXACT: the skip test uses a
+    conservative lower bound, so skipped triangles are strictly occluded."""
+    from vulkan_pbr_renderer_tpu.raster import visibility_v2
+
+    # heavy overdraw: many stacked triangles in the same region
+    clip = _random_tris(600, seed=11)
+    s = rs.setup_triangles(clip, 128, 96, cull="none")
+    d_ref, t_ref = rr.rasterize_vis(s, 128, 96)
+    d_on, t_on = visibility_v2.rasterize_vis_folded(s, 128, 96, hiz=True)
+    d_off, t_off = visibility_v2.rasterize_vis_folded(s, 128, 96, hiz=False)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_on))
+    np.testing.assert_array_equal(np.asarray(t_off), np.asarray(t_on))
+    dr = np.where(np.isinf(np.asarray(d_ref)), -1, np.asarray(d_ref))
+    dn = np.where(np.isinf(np.asarray(d_on)), -1, np.asarray(d_on))
+    np.testing.assert_allclose(dr, dn, atol=1e-6)
+
+
 def test_binning_segments_consistent():
     clip = _random_tris(100, seed=4)
     s = rs.setup_triangles(clip, 256, 128, cull="none")

@@ -22,6 +22,8 @@ Layer map (mirrors SURVEY.md §1, reference file pointers in the docstrings):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Geometry math (vertex transforms, matrix inverses) must run at true f32:
@@ -29,3 +31,20 @@ import jax as _jax
 # which quantizes clip-space positions into garbage depth.  The renderer has
 # no large matmuls where bf16 would pay, so force full precision globally.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the full frame takes minutes to compile and
+# every fresh process recompiles it; the on-disk cache makes repeat runs of
+# unchanged code near-instant (measured 95 s -> 5.4 s through the TPU
+# tunnel).  Opt out with VPR_COMPILATION_CACHE=0 or point it elsewhere with
+# VPR_COMPILATION_CACHE=<dir>.
+_cache = _os.environ.get("VPR_COMPILATION_CACHE", "")
+if _cache != "0":
+    if _cache in ("", "1"):
+        _cache = _os.path.expanduser("~/.cache/vulkan_pbr_renderer_tpu/jax")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except (OSError, AttributeError):  # read-only fs / older jax: best-effort
+        pass

@@ -125,7 +125,8 @@ def _rasterize(scene, mat, width, height, jitter=None, cull="back", backend="xla
             kw = {}
             if cfg is not None:
                 kw = dict(tile=cfg.folded_tile, chunk=cfg.tri_chunk,
-                          pair_capacity=cfg.pair_capacity_factor * scene.num_tris)
+                          pair_capacity=cfg.pair_capacity_factor * scene.num_tris,
+                          hiz=cfg.raster_hiz)
             depth, tri, ovf = visibility_v2.rasterize_vis_folded(
                 s, width, height, return_overflow=True, **kw)
         else:

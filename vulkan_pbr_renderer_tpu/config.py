@@ -109,6 +109,15 @@ class RenderConfig:
     tile_w: int = 128                      # v1 pixel tile: lane-aligned
     tile_capacity: int = 4096              # v1 max binned triangles per tile
     tri_chunk: int = 128                   # triangles rasterized per inner step
+    raster_hiz: bool = False               # folded kernel: front-to-back pair
+                                           # order + exact early-exit
+                                           # (hierarchical z).  Off by
+                                           # default: on SunTemple the
+                                           # per-chunk coverage reduce +
+                                           # serialized prefetch cost MORE
+                                           # than skipped chunks save
+                                           # (118 vs 135 ms measured); a
+                                           # high-overdraw scene may flip it
     pair_capacity_factor: int = 6          # binning pair buffer = factor * tris
                                            # (wide SunTemple fly-through views
                                            # measured 5.6 pairs/tri; the

@@ -73,7 +73,7 @@ def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull,
         if cfg.raster_kernel == "folded":
             d, t, ovf = visibility_v2.rasterize_vis_folded(
                 s, width, rows, tile=cfg.folded_tile, chunk=cfg.tri_chunk,
-                y_origin=y_origin, return_overflow=True,
+                y_origin=y_origin, return_overflow=True, hiz=cfg.raster_hiz,
             )
         else:
             d, t, ovf = visibility.rasterize_vis_tiled(

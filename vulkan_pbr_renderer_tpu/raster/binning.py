@@ -45,6 +45,10 @@ class TileBins(NamedTuple):
                               # tile_capacity overflow detection)
     total_pairs: jnp.ndarray  # i32 scalar: true pair count before clipping
                               # to pair_capacity (scatter drops the excess)
+    chunk_minz: jnp.ndarray   # [Pc/chunk] f32: min vertex z over each chunk
+                              # block (FAR for all-dead blocks) — the
+                              # hierarchical-z bound for the kernel's
+                              # early-exit (z_order sorts only)
 
 
 def pack_tri_data(setup: TriSetup):
@@ -86,9 +90,15 @@ def bin_triangles(
     tile_capacity=4096,
     chunk=128,
     y_origin=0,
+    z_order=False,
 ) -> TileBins:
     """height counts rows starting at pixel row `y_origin` (sub-viewport
-    binning for the row-sharded multi-chip path, parallel/sharding.py)."""
+    binning for the row-sharded multi-chip path, parallel/sharding.py).
+
+    z_order=True sorts each tile's pairs front-to-back (by quantized min
+    vertex depth, triangle id tie-break) and fills TileBins.chunk_minz — the
+    folded kernel then skips chunks once its tile is covered closer than
+    anything remaining (hierarchical z)."""
     n = setup.adj.shape[0]
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
@@ -164,16 +174,40 @@ def bin_triangles(
     tile = base_fill + (m // ntx_p) * tiles_x + (m % ntx_p)
     tile = jnp.where(in_range, tile, n_tiles)  # overflow/invalid sorts last
 
-    # sort pairs by (tile, tri): per-tile order stays ascending by triangle id
-    # AND the id comes back gather-free.  One packed key when the bits fit
-    # (~2x cheaper than the two-key lexicographic sort), else two keys.
-    if tile_bits + tri_bits <= 31:
+    # sort pairs by (tile, tri) — or (tile, z, tri) for hierarchical-z — the
+    # low key bits recover the triangle id gather-free.  One packed key when
+    # the bits fit (~2x cheaper than the two-key lexicographic sort).
+    if z_order:
+        # front-to-back within each tile: quantized min vertex depth in the
+        # second key's high bits (floor-quantized, so zq/K is a conservative
+        # lower bound — exactly what the kernel's skip test needs).  zq rides
+        # a 4th monotone fill (tri in the high bits), NOT a per-pair gather.
+        zq_bits = min(12, 30 - tri_bits)
+        zq_max = (1 << zq_bits) - 1
+        zv = setup.z_vert
+        minz = zv[:, 0] + jnp.minimum(
+            0.0, jnp.minimum(zv[:, 1], jnp.minimum(zv[:, 2], zv[:, 1] + zv[:, 2]))
+        )
+        # conservative 0 for plane-depth (w<=0) triangles; clamp to [0,1]
+        minz = jnp.where(setup.z_mode, jnp.clip(minz, 0.0, 1.0), 0.0)
+        zq_tri = jnp.minimum((minz * zq_max).astype(jnp.int32), zq_max)
+        zq_fill = _fill(
+            scatter_idx, (tri_ids32 << zq_bits) | zq_tri, pair_capacity
+        ) & zq_max
+        key2 = (zq_fill << tri_bits) | tri_of
+        sort_tile, k2 = jax.lax.sort((tile, key2), num_keys=2)
+        sort_tri = k2 & ((1 << tri_bits) - 1)
+        zq_sorted = (k2 >> tri_bits).astype(jnp.float32) * (1.0 / zq_max)
+        chunk_minz = zq_sorted.reshape(pair_capacity // chunk, chunk).min(axis=1)
+    elif tile_bits + tri_bits <= 31:
         key = (tile << tri_bits) | tri_of
         skey = jax.lax.sort(key)
         sort_tile = skey >> tri_bits
         sort_tri = skey & ((1 << tri_bits) - 1)
+        chunk_minz = jnp.zeros((pair_capacity // chunk,), jnp.float32)
     else:
         sort_tile, sort_tri = jax.lax.sort((tile, tri_of), num_keys=2)
+        chunk_minz = jnp.zeros((pair_capacity // chunk,), jnp.float32)
 
     # per-tile segment starts into the sorted pair array
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)
@@ -197,4 +231,5 @@ def bin_triangles(
         tiles_y=tiles_y,
         max_segment=jnp.max(starts[1:] - starts[:-1]),
         total_pairs=total,
+        chunk_minz=chunk_minz,
     )

@@ -42,9 +42,9 @@ FAR = 3.4e38
 BIG_ID = 3.0e38
 
 
-def _vis_kernel_folded(starts_ref, pair_ref, depth_out, id_out,
+def _vis_kernel_folded(starts_ref, minz_ref, pair_ref, depth_out, id_out,
                        buf, depth_acc, id_acc, sem, *,
-                       tile, chunk, tiles_x, y_origin):
+                       tile, chunk, tiles_x, y_origin, hiz):
     pix = tile * tile
     t = pl.program_id(0)
     ty = t // tiles_x
@@ -58,6 +58,7 @@ def _vis_kernel_folded(starts_ref, pair_ref, depth_out, id_out,
     # dim 128-aligned — Mosaic requires it), mask rows outside [start, end)
     blk0 = start // chunk
     nchunks = jnp.where(n > 0, (end - 1) // chunk - blk0 + 1, 0)
+    nb_total = minz_ref.shape[0]
 
     # pixel-coordinate planes (int iota -> f32; f32 iota unsupported)
     pidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 1)
@@ -75,42 +76,69 @@ def _vis_kernel_folded(starts_ref, pair_ref, depth_out, id_out,
             sem.at[slot],
         )
 
+    def eval_chunk(slot, i):
+        get_dma(slot, i).wait()
+        d = jnp.swapaxes(buf[slot], 0, 1)   # [chunk, 16] f32
+        e0 = d[:, 0:1] * px + d[:, 1:2] * py + d[:, 2:3]
+        e1 = d[:, 3:4] * px + d[:, 4:5] * py + d[:, 5:6]
+        e2 = d[:, 6:7] * px + d[:, 7:8] * py + d[:, 8:9]
+        esum = e0 + e1 + e2
+        zx, zy, zc = d[:, 9:10], d[:, 10:11], d[:, 11:12]
+        # vertex-interp depth when col 15, else screen-linear plane
+        z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
+        z_pl = zx * px + zy * py + zc
+        z = jnp.where(d[:, 15:16] > 0.5, z_hp, z_pl)
+        row_glob = (blk0 + i) * chunk + row
+        cov = (
+            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            & (esum > 0.0) & (z >= 0.0) & (z <= 1.0)
+            & (row_glob >= start) & (row_glob < end)  # my segment only
+        )
+        zm = jnp.where(cov, z, FAR)
+        cur = depth_acc[:]
+        take = zm < cur
+        depth_acc[:] = jnp.where(take, zm, cur)
+        id_acc[:] = jnp.where(take, d[:, 12:13], id_acc[:])
+
     @pl.when(nchunks > 0)
     def _body():
         get_dma(0, 0).start()
 
-        def chunk_body(i, _):
-            slot = i % 2
+        if not hiz:
+            def chunk_body(i, _):
+                slot = i % 2
 
-            @pl.when(i + 1 < nchunks)
-            def _():
-                get_dma((i + 1) % 2, i + 1).start()
+                @pl.when(i + 1 < nchunks)
+                def _():
+                    get_dma((i + 1) % 2, i + 1).start()
 
-            get_dma(slot, i).wait()
-            d = jnp.swapaxes(buf[slot], 0, 1)   # [chunk, 16] f32 (XLU transpose)
-            e0 = d[:, 0:1] * px + d[:, 1:2] * py + d[:, 2:3]
-            e1 = d[:, 3:4] * px + d[:, 4:5] * py + d[:, 5:6]
-            e2 = d[:, 6:7] * px + d[:, 7:8] * py + d[:, 8:9]
-            esum = e0 + e1 + e2
-            zx, zy, zc = d[:, 9:10], d[:, 10:11], d[:, 11:12]
-            # vertex-interp depth when col 15, else screen-linear plane
-            z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
-            z_pl = zx * px + zy * py + zc
-            z = jnp.where(d[:, 15:16] > 0.5, z_hp, z_pl)
-            row_glob = (blk0 + i) * chunk + row
-            cov = (
-                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                & (esum > 0.0) & (z >= 0.0) & (z <= 1.0)
-                & (row_glob >= start) & (row_glob < end)  # my segment only
-            )
-            zm = jnp.where(cov, z, FAR)
-            cur = depth_acc[:]
-            take = zm < cur
-            depth_acc[:] = jnp.where(take, zm, cur)
-            id_acc[:] = jnp.where(take, d[:, 12:13], id_acc[:])
-            return 0
+                eval_chunk(slot, i)
+                return 0
+        else:
+            # hierarchical z (pairs sorted front-to-back per tile): once
+            # every pixel is covered closer than anything remaining, stop.
+            # chunk_minz is a conservative lower bound (floor-quantized min
+            # vertex z), so `bound > zmax` implies strictly farther — the
+            # skipped triangles cannot win any pixel; results stay EXACT.
+            # The next chunk's DMA starts only after its skip test, so no
+            # orphaned DMA/semaphore ever outlives the grid step.
+            def chunk_body(i, done):
+                slot = i % 2
 
-        jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+                @pl.when(jnp.logical_not(done))
+                def _():
+                    eval_chunk(slot, i)
+
+                zmax = jnp.max(jnp.min(depth_acc[:], axis=0))  # FAR if hole
+                nxt = jnp.minimum(blk0 + i + 1, nb_total - 1)
+                done2 = done | (minz_ref[nxt] > zmax)
+
+                @pl.when((i + 1 < nchunks) & jnp.logical_not(done2))
+                def _():
+                    get_dma((i + 1) % 2, i + 1).start()
+                return done2
+
+        jax.lax.fori_loop(0, nchunks, chunk_body, False if hiz else 0)
 
     # final resolve: global min depth, then smallest id among the minima
     zm = depth_acc[:]
@@ -131,18 +159,21 @@ def rasterize_vis_folded(
     interpret=None,
     y_origin=0,
     return_overflow=False,
+    hiz=False,
 ):
     """Folded-tile rasterization of rows [y_origin, y_origin+height).
     Returns (depth [H,W] — +inf empty, tri_id [H,W][, overflow i32[2]]).
 
     overflow[0] is always 0 (this kernel has no per-tile capacity); only a
     pair_capacity overrun (overflow[1] > pair_capacity) can drop triangles.
+    hiz: front-to-back pair order + early-exit once the tile is covered
+    closer than anything remaining (exact — see the kernel docnote).
     """
     if interpret is None:
         interpret = device.pallas_interpret()
     bins = bin_triangles(
         setup, width, height, tile, tile, pair_capacity,
-        tile_capacity=0, chunk=chunk, y_origin=y_origin,
+        tile_capacity=0, chunk=chunk, y_origin=y_origin, z_order=hiz,
     )
     ty, tx = bins.tiles_y, bins.tiles_x
     n_tiles = ty * tx
@@ -155,17 +186,17 @@ def rasterize_vis_folded(
 
     kernel = functools.partial(
         _vis_kernel_folded, tile=tile, chunk=chunk, tiles_x=tx,
-        y_origin=float(y_origin),
+        y_origin=float(y_origin), hiz=hiz,
     )
     n_tiles_pad = -(-n_tiles // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
-            pl.BlockSpec((8, pix), lambda t, starts: (t // 8, 0),
+            pl.BlockSpec((8, pix), lambda t, starts, minz: (t // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pix), lambda t, starts: (t // 8, 0),
+            pl.BlockSpec((8, pix), lambda t, starts, minz: (t // 8, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -183,7 +214,7 @@ def rasterize_vis_folded(
             jax.ShapeDtypeStruct((n_tiles_pad, pix), jnp.float32),
         ],
         interpret=interpret,
-    )(bins.starts, blocks)
+    )(bins.starts, bins.chunk_minz, blocks)
     depth_t = depth_t[:n_tiles]
     id_t = id_t[:n_tiles]
 
