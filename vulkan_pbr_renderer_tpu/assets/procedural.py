@@ -115,20 +115,26 @@ def make_sky_cubemap(size=128, sun_dir=(0.3, 0.2, -0.9), ground=(0.25, 0.22, 0.2
     """Procedural HDR sky env cubemap [6,S,S,3] — stand-in for the stripped
     shipyard_cranes_track_cube.hdr (SURVEY.md §2.6).  sun_dir points FROM the
     sun (matches the reference's sun_direction convention)."""
-    import jax.numpy as jnp
-
-    from ..gpu import sampling
-
     sd = np.asarray(sun_dir, np.float64)
     sd /= np.linalg.norm(sd)
     faces = []
     uv1 = (np.arange(size) + 0.5) / size
     u, v = np.meshgrid(uv1, uv1, indexing="xy")
-    uvg = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+    # pure numpy face->direction (the jnp sampler version dispatched ~12
+    # eager ops per face; each eager op COMPILES a tiny executable through
+    # the TPU tunnel at ~3 s — this one function cost 207 s of every
+    # entry-point startup)
+    sc = 2.0 * (u - 0.5)
+    tc = 2.0 * (v - 0.5)
+    one = np.ones_like(sc)
+    face_dirs = [
+        np.stack([one, -tc, -sc], -1), np.stack([-one, -tc, sc], -1),
+        np.stack([sc, one, tc], -1), np.stack([sc, -one, -tc], -1),
+        np.stack([sc, -tc, one], -1), np.stack([-sc, -tc, -one], -1),
+    ]
     for f in range(6):
-        d = np.asarray(
-            sampling.cubemap_dir_from_face_uv(jnp.full((size, size), f, jnp.int32), uvg)
-        )
+        d = face_dirs[f]
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         up = np.clip(d[..., 2], -1, 1)
         sky = np.where(
             (up >= 0)[..., None],

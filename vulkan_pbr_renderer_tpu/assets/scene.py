@@ -162,10 +162,20 @@ def build_scene(
     # channels keep exact 1/255 steps; emissive factors > 1 stay representable)
     tex_scale = np.maximum(packed.reshape(-1, 12).max(axis=0), 1.0).astype(np.float32)
     arr = jnp.asarray(packed, jnp.float32)
-    tex_packed = jnp.stack(
-        [sampling.build_mip_atlas_window_u8(arr[i], tex_scale)
-         for i in range(arr.shape[0])]
-    )
+
+    # one jit around the whole atlas build: eagerly it is hundreds of tiny
+    # ops, and on the TPU tunnel every eager op compiles its own executable
+    # (~3 s each — this loop alone cost ~30 s of scene-build time)
+    import jax as _jax
+
+    @_jax.jit
+    def _build_atlases(a, scale):
+        return jnp.stack(
+            [sampling.build_mip_atlas_window_u8(a[i], scale)
+             for i in range(a.shape[0])]
+        )
+
+    tex_packed = _build_atlases(arr, jnp.asarray(tex_scale))
 
     vertex_packed = np.concatenate([pos, nrm, uv], axis=1).astype(np.float32)
     tri_meta = np.concatenate([idx, mat[:, None]], axis=1).astype(np.int32)

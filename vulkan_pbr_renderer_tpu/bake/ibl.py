@@ -10,6 +10,8 @@ itself.  Sample loops run as lax.scan over chunks so memory stays bounded.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -50,6 +52,8 @@ def _hemisphere_dir(n, tangent, pitch, yaw):
     return m3.rotate_about_axis(d, n, yaw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "env_base_size", "size", "samples", "chunk"))
 def bake_irradiance(env_cube_atlas, env_base_size, size=32, samples=1024, chunk=64):
     """Diffuse irradiance cubemap (gen_irradiance_map.glsl:73-101):
     mean of cos(pitch)-weighted env samples at LOD 6.  Returns [6,S,S,3]."""
@@ -79,6 +83,8 @@ def bake_irradiance(env_cube_atlas, env_base_size, size=32, samples=1024, chunk=
 PREFILTER_ROUGHNESS = (0.0, 0.03, 0.15, 0.4, 0.6)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "env_base_size", "size", "min_size", "samples", "chunk"))
 def bake_prefiltered_env(env_cube_atlas, env_base_size, size=256, min_size=16,
                          samples=8192, chunk=64):
     """Specular prefiltered env mips (gen_prefiltered_env_map.glsl:103-151).
@@ -137,6 +143,7 @@ def bake_prefiltered_env(env_cube_atlas, env_base_size, size=256, min_size=16,
     return jnp.stack(per_face)
 
 
+@functools.partial(jax.jit, static_argnames=("size", "samples", "chunk"))
 def bake_brdf_lut(size=256, samples=4096, chunk=256):
     """Split-sum BRDF LUT (gen_brdf_integration_map.glsl:142-210): 256^2 over
     (NdotV, roughness) -> (scale, bias) with D_Beckmann * G_Mikkelsen weights.

@@ -1031,11 +1031,18 @@ def sample_mip_atlas_array(atlas, layer, uv, lod, mode="wrap"):
 
 
 def build_cube_mip_atlas(faces, levels=None):
-    """[6,S,S,C] cubemap -> [6,S,Wa,C] per-face mip atlas."""
+    """[6,S,S,C] cubemap -> [6,S,Wa,C] per-face mip atlas (jitted whole —
+    the eager per-face/per-level loop pays a tunnel compile per op)."""
+    import jax
+
     six, s, _, c = faces.shape
     levels = levels or n_mip_levels(s, s)
-    packed = [build_mip_atlas(faces[i], levels) for i in range(six)]
-    return jnp.stack(packed, axis=0)
+
+    @jax.jit
+    def _build(fcs):
+        return jnp.stack([build_mip_atlas(fcs[i], levels) for i in range(six)])
+
+    return _build(faces)
 
 
 def sample_cubemap_level(cube_atlas, base_size, r, level):
@@ -1233,19 +1240,27 @@ def build_cube_mip_atlas_window(faces, levels=None, dtype=jnp.float16):
 def pack_cube_mip_atlas_window(cube_atlas, base_size, dtype=jnp.float16):
     """Convert an existing cube mip atlas [6,S,Wa,C] (e.g. the prefiltered
     env bake, which has DIFFERENT content per level — not a box chain) into
-    the window-packed layout used by the 1-row samplers."""
-    six, s, wa, c = cube_atlas.shape
-    levels = n_mip_levels(base_size, base_size)
-    offs, _ = mip_offsets(base_size, base_size, levels)
-    out = jnp.zeros((six, s, wa, 4 * c), dtype)
-    for f in range(six):
-        for k in range(levels):
-            ls = max(1, base_size >> k)
-            lvl = cube_atlas[f, :ls, offs[k] : offs[k] + ls]
-            out = out.at[f, :ls, offs[k] : offs[k] + ls].set(
-                window_pack(lvl, 2, 2, pad_mode="edge").astype(dtype)
-            )
-    return out
+    the window-packed layout used by the 1-row samplers.  Jitted as a whole:
+    the 6*levels python loop is ~100 tiny ops, and eager ops each compile
+    their own executable through the TPU tunnel (~3 s apiece)."""
+    import jax
+
+    @jax.jit
+    def _pack(atlas):
+        six, s, wa, c = atlas.shape
+        levels = n_mip_levels(base_size, base_size)
+        offs, _ = mip_offsets(base_size, base_size, levels)
+        out = jnp.zeros((six, s, wa, 4 * c), dtype)
+        for f in range(six):
+            for k in range(levels):
+                ls = max(1, base_size >> k)
+                lvl = atlas[f, :ls, offs[k] : offs[k] + ls]
+                out = out.at[f, :ls, offs[k] : offs[k] + ls].set(
+                    window_pack(lvl, 2, 2, pad_mode="edge").astype(dtype)
+                )
+        return out
+
+    return _pack(cube_atlas)
 
 
 def _cube_window_level_sample(flat, s, wa, c, face, uv, ls, off):
