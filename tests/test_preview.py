@@ -56,6 +56,46 @@ def test_mouse_look_requires_right_button():
     assert s.camera.yaw != yaw0
 
 
+def test_session_with_real_renderer():
+    """End-to-end: the preview session drives the actual Renderer on a tiny
+    scene — input moves the camera, the lightgrid debug toggle switches the
+    render path, and frames encode."""
+    import jax.numpy as jnp
+
+    from vulkan_pbr_renderer_tpu.app.renderer import Renderer, render_frame
+    from vulkan_pbr_renderer_tpu.assets import MaterialDesc, build_scene, procedural
+
+    cfg = RenderConfig(
+        width=64, height=32, shadow_map_size=32, lightgrid_size=8,
+        lightgrid_extent=8.0, prefiltered_env_size=16,
+        prefiltered_env_min_size=8, prefilter_samples=16, brdf_lut_size=16,
+        brdf_lut_samples=16, bloom_pass_count=2, gi_screen_trace_steps=2,
+        gi_diffuse_steps=2, gi_specular_steps=2, light_shaft_steps=2,
+    )
+    scene = build_scene(
+        [procedural.make_plane((0, 0, 0), (10, 10), 2, 0),
+         procedural.make_cube((0, 0, 1.0), (1, 1, 2), 0)],
+        [MaterialDesc()], texture_size=16)
+    r = Renderer(cfg, scene, use_cache=False, raster_backend="xla")
+
+    def render_step(cam, sun_angle, visualize):
+        c = r.cfg.replace(visualize_lightgrid=visualize)
+        r.state, img = render_frame(
+            r.scene, r.state, cam, jnp.asarray(sun_angle, jnp.float32),
+            r.prefiltered_env, r.brdf_lut, c, r.raster_backend)
+        return img
+
+    s = preview.PreviewSession(render_step, cfg, start_pos=(0, -5, 2))
+    s.push_events([["press", "KeyW"]])
+    s.tick()
+    img1 = np.frombuffer(s.frame_png[:8], np.uint8)
+    assert bytes(img1) == b"\x89PNG\r\n\x1a\n" and s.frame_count == 1
+    s.push_events([["press", "KeyG"]])
+    s.tick()   # lightgrid debug view renders through the DDA path
+    assert s.visualize_lightgrid and s.frame_count == 2
+    assert s.camera.pos[1] > -5.0
+
+
 def test_http_server_roundtrip():
     calls = []
     s = preview.PreviewSession(_render_step(calls), CFG)
