@@ -94,6 +94,12 @@ def main():
         float(means[-1])
     ms = (time.perf_counter() - t0) / (reps * frames) * 1000.0
 
+    # an overflowing bench frame would silently drop triangles and report a
+    # BETTER number (VERDICT r2 weak #4) — one host fetch, outside timing
+    r.state = state
+    ok, msg = r.check_overflow(strict=True)
+    print(f"# overflow check: {msg}", file=sys.stderr)
+
     out = {
         "metric": "suntemple_1080p_frame_ms",
         "value": round(ms, 2),

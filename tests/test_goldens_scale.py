@@ -1,12 +1,16 @@
-"""Large-scale + per-pass-toggle golden images (VERDICT r1 #8).
+"""Large-scale + per-pass-toggle golden images (VERDICT r1 #8, r2 weak #5).
 
 Round 2's optimizations trade precision for speed (uint8 materials, f16
 window packs, nearest-mip sampling); these goldens are the safety net the
 160x96 smoke goldens are too coarse to provide:
 
-* one 960x544 SunTemple frame per GI mode (fast + reference-parity hybrid)
-* per-pass toggle goldens at 320x192 (each pass's contribution pinned
-  separately, so a regression localizes to the pass that caused it)
+* DEFAULT-ON: one 480x272 SunTemple frame per GI mode (fast +
+  reference-parity hybrid) and per-pass toggle goldens at 320x192 (each
+  pass's contribution pinned separately, so a regression localizes to the
+  pass that caused it).  These run in the normal CPU suite — precision
+  changes (e.g. the round-3 bf16 conversion) MUST go through them.
+* OPT-IN (RUN_SCALE_GOLDENS=1): the 960x544 pair — minutes-long on the CPU
+  backend (the reference-parity GI march dominates).
 
 Regenerate after intentional changes:
     UPDATE_GOLDENS=1 python -m pytest tests/test_goldens_scale.py
@@ -17,13 +21,7 @@ import os
 import numpy as np
 import pytest
 
-# These render minutes-long frames on the CPU backend the suite runs under
-# (conftest forces cpu; the reference-parity GI march at 960x544 is the slow
-# part), so they are opt-in: RUN_SCALE_GOLDENS=1 python -m pytest
-# tests/test_goldens_scale.py.  bench.py-adjacent TPU runs use the same flag.
-if os.environ.get("RUN_SCALE_GOLDENS") != "1":
-    pytest.skip("scale goldens are slow on CPU: set RUN_SCALE_GOLDENS=1",
-                allow_module_level=True)
+FULL_TIER = os.environ.get("RUN_SCALE_GOLDENS") == "1"
 
 from vulkan_pbr_renderer_tpu.app import Renderer, make_camera
 from vulkan_pbr_renderer_tpu.assets import build_scene, suntemple
@@ -62,7 +60,21 @@ SCALE = RenderConfig(
     light_shaft_steps=8,
 )
 
+MID = SCALE.replace(width=480, height=272, shadow_map_size=256)
 
+
+@pytest.mark.parametrize("mode", ["fast", "reference"])
+def test_golden_suntemple_480(mode):
+    cfg = MID.replace(gi_mode=mode)
+    r = Renderer(cfg, _scene(), use_cache=False, raster_backend="xla")
+    cam = make_camera(*suntemple.camera_path(0.3), cfg)
+    img = None
+    for _ in range(2):  # settle GI sweep + TAA one step
+        img = r.render(cam, sun_angle=(35.0, 80.0))
+    _check(f"suntemple_480_{mode}", img, threshold=0.97)
+
+
+@pytest.mark.skipif(not FULL_TIER, reason="960x544 tier: RUN_SCALE_GOLDENS=1")
 @pytest.mark.parametrize("mode", ["fast", "reference"])
 def test_golden_suntemple_960(mode):
     cfg = SCALE.replace(gi_mode=mode)

@@ -64,13 +64,15 @@ def test_camera_controls_mapping():
     f.add_press(Key.LEFT_SHIFT)
     f.add_mouse_move(10.0, 4.0)
     kw = camera_controls(f)
-    assert kw["move"] == (1.0, 1.0, 0.0)
+    # movement is gated behind has_focus = MouseRight-or-Ctrl (camera.h:51-67)
+    assert kw["move"] == (0.0, 0.0, 0.0)
     assert kw["shift"] and not kw["ctrl"]
     # mouse look requires the right button held (camera.h:56)
     assert kw["mouse"] == (0.0, 0.0)
     f.add_press(Key.MOUSE_RIGHT)
     kw = camera_controls(f, mouse_speed_scale=0.5)
     assert kw["mouse"] == (5.0, 2.0)
+    assert kw["move"] == (1.0, 1.0, 0.0)
 
 
 def test_debug_controls():

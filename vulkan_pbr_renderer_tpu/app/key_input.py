@@ -163,15 +163,20 @@ class InputFrame:
 def camera_controls(frame: InputFrame, mouse_speed_scale: float = 0.5):
     """Translate a frame into FpsCamera.update kwargs per camera.h:39-92:
     WASD forward/right, E/Q up/down, Shift x3 / Ctrl x0.1 speed, and mouse
-    look only while the right button is held (camera.h:56-59).  The reference
-    passes raw mouse counts through mouse_speed=0.001 while FpsCamera.update
-    defaults to 0.002 — mouse_speed_scale compensates."""
+    look only while the right button is held (camera.h:56-59).  All movement
+    is gated behind has_focus = MouseRight-or-Ctrl held (camera.h:51-67).
+    The reference passes raw mouse counts through mouse_speed=0.001 while
+    FpsCamera.update defaults to 0.002 — mouse_speed_scale compensates."""
     d = frame.is_down
-    move = (
-        (1.0 if d(ord("W")) else 0.0) - (1.0 if d(ord("S")) else 0.0),
-        (1.0 if d(ord("D")) else 0.0) - (1.0 if d(ord("A")) else 0.0),
-        (1.0 if d(ord("E")) else 0.0) - (1.0 if d(ord("Q")) else 0.0),
-    )
+    has_focus = d(Key.MOUSE_RIGHT) or d(Key.CONTROL)
+    if has_focus:
+        move = (
+            (1.0 if d(ord("W")) else 0.0) - (1.0 if d(ord("S")) else 0.0),
+            (1.0 if d(ord("D")) else 0.0) - (1.0 if d(ord("A")) else 0.0),
+            (1.0 if d(ord("E")) else 0.0) - (1.0 if d(ord("Q")) else 0.0),
+        )
+    else:
+        move = (0.0, 0.0, 0.0)
     if frame.is_down(Key.MOUSE_RIGHT):
         mouse = (frame.raw_mouse_input[0] * mouse_speed_scale,
                  frame.raw_mouse_input[1] * mouse_speed_scale)

@@ -16,8 +16,11 @@ those becomes a gather-based jnp function over plain arrays:
   dynamic-LOD sampling a single arithmetic gather instead of a switch over
   differently-shaped arrays (which XLA cannot express).
 
-Everything is jit-safe and shape-static.  These are the semantic reference
-implementations; hot paths get fused into Pallas kernels in ops/.
+Everything is jit-safe and shape-static.  XLA fuses the gather + filter
+arithmetic well on its own (measured in docs/PERF_NOTES.md — the win came
+from table LAYOUT, i.e. the window/quad/split packs below, not hand-written
+kernels), so these jnp functions ARE the production sampling path; only the
+rasterizer needed custom Pallas kernels (raster/).
 """
 
 from __future__ import annotations

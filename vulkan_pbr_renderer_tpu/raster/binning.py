@@ -127,7 +127,14 @@ def bin_triangles(
     base_tile = (ty0 * tiles_x + tx0).astype(jnp.int32)
 
     tile_bits = max(1, int(n_tiles).bit_length())  # holds values <= n_tiles
-    span_bits = 8  # ntx <= 255 tiles across — 8k-wide screens at 32px tiles
+    span_bits = 8
+    # ntx is clamped to span_max below, so a screen wider than 255 tiles
+    # would silently drop the rightmost tile columns of full-width triangles
+    # (ADVICE r2): fail loudly instead.  255 tiles = 8160px at 32px tiles.
+    assert tiles_x <= (1 << span_bits) - 1, (
+        f"screen {width}px = {tiles_x} tile columns exceeds the {span_bits}-bit "
+        "binning span; raise span_bits in binning.py"
+    )
     tri_bits = max(1, int(n - 1).bit_length())
     half_bits = (tile_bits + 1) // 2
     # packed fill values must stay positive int32 (tri in the high bits keeps
