@@ -27,10 +27,15 @@ def test_session_tick_applies_input():
     s = preview.PreviewSession(_render_step(calls), CFG, start_pos=(0, -6, 2.5))
     s.tick()  # no input
     p0 = np.asarray(s.camera.pos).copy()
+    # movement requires focus = MouseRight-or-Ctrl held (camera.h:51-67)
     s.push_events([["press", "KeyW"]])
+    s.tick()
+    assert abs(s.camera.pos[1] - p0[1]) < 1e-6  # no focus -> no movement
+    s.push_events([["press", "MouseRight"]])
     for _ in range(5):
         s.tick()
     assert s.camera.pos[1] > p0[1] + 0.05  # moved forward (+Y view dir)
+    s.push_events([["release", "MouseRight"]])
     # W held across ticks (reset keeps down-state)
     assert s.inputs.is_down(ord("W"))
     s.push_events([["release", "KeyW"], ["press", "Digit0"]])
@@ -86,7 +91,7 @@ def test_session_with_real_renderer():
         return img
 
     s = preview.PreviewSession(render_step, cfg, start_pos=(0, -5, 2))
-    s.push_events([["press", "KeyW"]])
+    s.push_events([["press", "KeyW"], ["press", "MouseRight"]])
     s.tick()
     img1 = np.frombuffer(s.frame_png[:8], np.uint8)
     assert bytes(img1) == b"\x89PNG\r\n\x1a\n" and s.frame_count == 1

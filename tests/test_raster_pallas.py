@@ -97,6 +97,27 @@ def test_folded_hiz_matches_xla_exactly():
     np.testing.assert_allclose(dr, dn, atol=1e-6)
 
 
+def test_near_plane_crossing_bbox_conservative():
+    """Triangles crossing w=0 get a directional-extension bbox (setup.py
+    round 3) instead of full screen; the tiled kernels must still cover every
+    pixel the XLA baseline covers."""
+    from vulkan_pbr_renderer_tpu.raster import visibility_v2
+
+    rng = np.random.default_rng(21)
+    n = 40
+    verts = rng.uniform(-2, 2, (n, 3, 2)).astype(np.float32)
+    z = rng.uniform(0.1, 0.9, (n, 1, 1)).astype(np.float32).repeat(3, 1)
+    # w spans negative..positive so many triangles cross the camera plane
+    w = rng.uniform(-0.5, 1.5, (n, 3, 1)).astype(np.float32)
+    clip = jnp.asarray(np.concatenate([verts * np.abs(w), z * np.abs(w), w], -1))
+    s = rs.setup_triangles(clip, 160, 96, cull="none")
+    d_ref, t_ref = rr.rasterize_vis(s, 160, 96)
+    d_v2, t_v2 = visibility_v2.rasterize_vis_folded(s, 160, 96)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_v2))
+    d_v1, t_v1 = visibility.rasterize_vis_tiled(s, 160, 96, tile_capacity=256)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_v1))
+
+
 def test_binning_segments_consistent():
     clip = _random_tris(100, seed=4)
     s = rs.setup_triangles(clip, 256, 128, cull="none")

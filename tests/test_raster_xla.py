@@ -112,9 +112,16 @@ def test_crossing_near_plane_rasterizes():
     s = rs.setup_triangles(clip, 64, 64, cull="none")
     depth, tri = rr.rasterize_vis(s, 64, 64)
     tri = np.asarray(tri)
-    assert (tri >= 0).sum() > 100  # a large fan reaching the top of the screen
-    # bbox must have been conservative (full screen)
-    np.testing.assert_array_equal(np.asarray(s.bbox[0]), [0, 0, 64, 64])
+    assert (tri >= 0).sum() > 100  # a large fan toward the screen border
+    # bbox must CONTAIN all covered pixels (conservative) without falling
+    # back to full screen (round 3: directional extensions from the w=eps
+    # crossings — here the fan opens downward only, so y0 stays at the
+    # projected front edge)
+    ys, xs = np.nonzero(tri >= 0)
+    x0, y0, x1, y1 = np.asarray(s.bbox[0])
+    assert x0 <= xs.min() and xs.max() < x1
+    assert y0 <= ys.min() and ys.max() < y1
+    assert y0 > 0  # tighter than the old full-screen fallback
 
 
 def test_bbox_tight_for_front_triangles():

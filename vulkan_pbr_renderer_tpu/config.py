@@ -118,10 +118,19 @@ class RenderConfig:
                                            # than skipped chunks save
                                            # (118 vs 135 ms measured); a
                                            # high-overdraw scene may flip it
-    pair_capacity_factor: int = 6          # binning pair buffer = factor * tris
-                                           # (wide SunTemple fly-through views
-                                           # measured 5.6 pairs/tri; the
-                                           # overflow counter catches worse)
+    pair_capacity_factor: int = 3          # binning pair buffer = factor * tris.
+                                           # Round-3 sweep after the crossing-
+                                           # triangle bbox fix (setup.py):
+                                           # fly-through peak 0.80 pairs/tri,
+                                           # sun pass 1.26 — the old 5.6-6.2
+                                           # was full-screen bbox fallbacks.
+                                           # 3 covers the ~2.1/tri floor of
+                                           # small closed meshes under the
+                                           # cull=none shadow pass.  Every
+                                           # fill/sort/gather cost is
+                                           # proportional to this buffer; the
+                                           # overflow counter catches worse
+                                           # scenes (check_overflow)
 
     # --- pass toggles -----------------------------------------------------
     enable_shadows: bool = True

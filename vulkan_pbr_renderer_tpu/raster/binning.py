@@ -37,7 +37,7 @@ from .setup import TriSetup
 
 
 class TileBins(NamedTuple):
-    pair_data: jnp.ndarray   # [Pc/chunk, chunk, 16] f32 pair-ordered blocks
+    pair_data: jnp.ndarray   # [Pc/chunk, chunk, 16|13] f32 pair-ordered blocks
     starts: jnp.ndarray      # [T+1] i32 pair-array segment starts per tile
     tiles_x: int
     tiles_y: int
@@ -72,6 +72,27 @@ def pack_tri_data(setup: TriSetup):
     return out
 
 
+def pack_tri_data_slim(setup: TriSetup):
+    """[N,13] f32: cols 0-8 edges, 9-11 depth, 12 = ±(id+1) with the sign
+    carrying z_mode (+ = vertex-interp depth, − = screen-linear plane).
+
+    The slim layout is the round-3 pair-gather diet (VERDICT r2 #1): the
+    folded kernel never used the bbox cols, the id is exact in f32 (< 2^24),
+    and folding z_mode into its sign drops rows from 64 B to 52 B — wide rows
+    fall off the gather-rate cliff (docs/PERF_NOTES.md row-format sweep).
+    """
+    n = setup.adj.shape[0]
+    e = jnp.transpose(setup.adj, (0, 2, 1)).reshape(n, 9)
+    dead = jnp.tile(
+        jnp.array([0, 0, -1, 0, 0, 1, 0, 0, 1], jnp.float32), (n, 1)
+    )
+    e = jnp.where(setup.valid[:, None], e, dead)
+    z = jnp.where(setup.z_mode[:, None], setup.z_vert, setup.c_z)
+    ids1 = jnp.arange(1, n + 1, dtype=jnp.float32)
+    enc = jnp.where(setup.z_mode, ids1, -ids1)[:, None]
+    return jnp.concatenate([e, z, enc], axis=1)
+
+
 def _fill(scatter_idx, values, capacity):
     """Scatter `values` (must be monotone over the scatter order) at
     scatter_idx into a length-`capacity` array, then cummax-forward-fill."""
@@ -91,6 +112,7 @@ def bin_triangles(
     chunk=128,
     y_origin=0,
     z_order=False,
+    fmt="wide16",
 ) -> TileBins:
     """height counts rows starting at pixel row `y_origin` (sub-viewport
     binning for the row-sharded multi-chip path, parallel/sharding.py).
@@ -142,32 +164,45 @@ def bin_triangles(
     assert (n << max(span_bits, half_bits)) <= (1 << 31) and n < (
         1 << 24
     ), "triangle count too large for packed binning keys"
-
-    # Monotone forward-fills — 3 scatter+cummax passes in the common case
-    # (round-2 wave 5; each pass cost ~4.7 ms at 638k tris):
-    #   * run_start: offsets are already monotone, filled raw
-    #   * (tri | ntx): tri id rides the high bits — ALSO recovered from here
-    #     (>> span_bits), so the former dedicated tri fill is gone
-    #   * base_tile: one fill when tri_bits+tile_bits fits int31, else split
-    #     into two half-width fills (e.g. the 4096-tile sun map at >512k tris)
-    run_start = jnp.maximum(_fill(scatter_idx, offsets, pair_capacity), 0)
-    span_max = (1 << span_bits) - 1
-    ntx_packed = _fill(
-        scatter_idx, (tri_ids32 << span_bits) | jnp.minimum(ntx, span_max),
-        pair_capacity,
+    assert pair_capacity < (1 << (31 - span_bits)), (
+        "pair_capacity too large for the packed (run_start | ntx) fill"
     )
-    ntx_fill = ntx_packed & span_max
-    tri_of = jnp.clip(ntx_packed >> span_bits, 0, n - 1)
+
+    # Monotone forward-fills — 2 scatter+cummax passes in the common case
+    # (round-3; each pass cost ~4.7 ms at 638k tris, so fills are worth
+    # packing to the int32 bit limit):
+    #   * (run_start | ntx): run_start strictly increases between runs (every
+    #     run has >= 1 pair), so the packed value stays monotone over the
+    #     scatter order with ntx in the low bits — one fill carries both
+    #   * (tri | base_tile): tri id rides the high bits — ALSO recovered from
+    #     here (>> tile_bits), so no dedicated tri fill; when
+    #     tri_bits+tile_bits exceeds int31 (e.g. the 4096-tile sun map at
+    #     >512k tris) base_tile splits into two half-width fills and tri
+    #     rides the first
+    span_max = (1 << span_bits) - 1
+    rs_packed = jnp.maximum(
+        _fill(
+            scatter_idx, (offsets << span_bits) | jnp.minimum(ntx, span_max),
+            pair_capacity,
+        ),
+        0,
+    )
+    run_start = rs_packed >> span_bits
+    ntx_fill = rs_packed & span_max
     if tri_bits + tile_bits <= 31:
-        base_fill = _fill(
+        base_packed = _fill(
             scatter_idx, (tri_ids32 << tile_bits) | base_tile, pair_capacity
-        ) & ((1 << tile_bits) - 1)
+        )
+        base_fill = base_packed & ((1 << tile_bits) - 1)
+        tri_of = jnp.clip(base_packed >> tile_bits, 0, n - 1)
     else:
         half_max = (1 << half_bits) - 1
-        base_lo = _fill(
+        lo_packed = _fill(
             scatter_idx, (tri_ids32 << half_bits) | (base_tile & half_max),
             pair_capacity,
-        ) & half_max
+        )
+        base_lo = lo_packed & half_max
+        tri_of = jnp.clip(lo_packed >> half_bits, 0, n - 1)
         base_hi = _fill(
             scatter_idx, (tri_ids32 << half_bits) | (base_tile >> half_bits),
             pair_capacity,
@@ -221,16 +256,25 @@ def bin_triangles(
     starts = jnp.searchsorted(sort_tile, tile_range, side="left").astype(jnp.int32)
 
     # pair-ordered packed data — the single gather of the pipeline (P rows,
-    # independent of per-tile capacity)
-    packed = pack_tri_data(setup)                       # [N,16]
+    # independent of per-tile capacity).  'slim13' (52 B rows) is the folded
+    # kernel's diet; 'wide16' keeps the v1 rowblock layout with bbox cols.
     pair_valid = p < total
-    data = packed[sort_tri]                             # [P,16]
-    dead = jnp.zeros((16,), jnp.float32).at[2].set(-1.0)
-    data = jnp.where(pair_valid[:, None], data, dead)
-    data = data.at[:, 12].set(
-        jnp.where(pair_valid, sort_tri, -1).astype(jnp.float32)
-    )
-    pair_data = data.reshape(pair_capacity // chunk, chunk, 16)
+    if fmt == "slim13":
+        packed = pack_tri_data_slim(setup)              # [N,13]
+        data = packed[sort_tri]                         # [P,13]
+        # dead rows: e0 const -1 kills coverage; enc 0 decodes to id -1
+        dead = jnp.zeros((13,), jnp.float32).at[2].set(-1.0)
+        data = jnp.where(pair_valid[:, None], data, dead)
+        pair_data = data.reshape(pair_capacity // chunk, chunk, 13)
+    else:
+        packed = pack_tri_data(setup)                   # [N,16]
+        data = packed[sort_tri]                         # [P,16]
+        dead = jnp.zeros((16,), jnp.float32).at[2].set(-1.0)
+        data = jnp.where(pair_valid[:, None], data, dead)
+        data = data.at[:, 12].set(
+            jnp.where(pair_valid, sort_tri, -1).astype(jnp.float32)
+        )
+        pair_data = data.reshape(pair_capacity // chunk, chunk, 16)
     return TileBins(
         pair_data=pair_data,
         starts=starts,

@@ -113,20 +113,53 @@ def setup_triangles(clip, width, height, cull="back", guard_band=8192.0):
     z_vert = jnp.stack([zv[:, 0], zv[:, 1] - zv[:, 0], zv[:, 2] - zv[:, 0]], -1)
     z_mode = jnp.all(w > eps_w, axis=-1)
 
-    # Screen bbox.  Only meaningful when all w > 0; otherwise be conservative
-    # (full screen) — such triangles are rare (cross the camera plane).
+    # Screen bbox.  For all-front triangles: project and bound.  For
+    # near-plane-crossing triangles (some w <= eps): the visible region is the
+    # convex hull of the front vertices' projections plus the directions at
+    # infinity where the triangle crosses w = eps; the bbox extends to the
+    # screen border along each sign of those crossing directions (component-
+    # wise over the min/max of the crossing xy — covers every intermediate
+    # direction of the crossing segment by linearity).  Round 3: the previous
+    # full-screen fallback cost ~2000 binning pairs PER crossing triangle
+    # whenever the camera hugged a wall or floor.
     eps = 1e-6
     all_front = jnp.all(w > eps, axis=-1)
-    px = xh / jnp.maximum(w, eps)
-    py = yh / jnp.maximum(w, eps)
-    x0 = jnp.clip(jnp.floor(jnp.min(px, -1)), 0, width).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(jnp.min(py, -1)), 0, height).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil(jnp.max(px, -1)) + 1, 0, width).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil(jnp.max(py, -1)) + 1, 0, height).astype(jnp.int32)
-    full = jnp.array([0, 0, width, height], jnp.int32)
-    bbox = jnp.where(
-        all_front[..., None], jnp.stack([x0, y0, x1, y1], -1), full[None, :]
-    )
+    front = w > eps                                   # [N,3]
+    pxv = xh / jnp.maximum(w, eps)
+    pyv = yh / jnp.maximum(w, eps)
+    big = 1e9
+    px_min = jnp.min(jnp.where(front, pxv, big), -1)
+    px_max = jnp.max(jnp.where(front, pxv, -big), -1)
+    py_min = jnp.min(jnp.where(front, pyv, big), -1)
+    py_max = jnp.max(jnp.where(front, pyv, -big), -1)
+    # w=eps crossings of the 3 edges, in homogeneous xy (the direction)
+    ext_xp = jnp.zeros(all_front.shape, bool)
+    ext_xn = jnp.zeros(all_front.shape, bool)
+    ext_yp = jnp.zeros(all_front.shape, bool)
+    ext_yn = jnp.zeros(all_front.shape, bool)
+    for i in range(3):
+        j = (i + 1) % 3
+        wi, wj = w[..., i], w[..., j]
+        cross = front[..., i] != front[..., j]
+        denom = jnp.where(jnp.abs(wj - wi) < 1e-30, 1e-30, wj - wi)
+        t = (eps - wi) / denom
+        dx = xh[..., i] + t * (xh[..., j] - xh[..., i])
+        dy = yh[..., i] + t * (yh[..., j] - yh[..., i])
+        # >=/<= : a crossing direction of exactly 0 extends both ways (free
+        # insurance against sign flips between the w=eps and w=0 crossings)
+        ext_xp |= cross & (dx >= 0)
+        ext_xn |= cross & (dx <= 0)
+        ext_yp |= cross & (dy >= 0)
+        ext_yn |= cross & (dy <= 0)
+    px_min = jnp.where(ext_xn, -big, px_min)
+    px_max = jnp.where(ext_xp, big, px_max)
+    py_min = jnp.where(ext_yn, -big, py_min)
+    py_max = jnp.where(ext_yp, big, py_max)
+    x0 = jnp.clip(jnp.floor(px_min), 0, width).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(py_min), 0, height).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil(px_max) + 1, 0, width).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil(py_max) + 1, 0, height).astype(jnp.int32)
+    bbox = jnp.stack([x0, y0, x1, y1], -1)
     # cull fully-behind triangles and zero-area bboxes
     any_front = jnp.any(w > eps, axis=-1)
     nonempty = (bbox[..., 2] > bbox[..., 0]) & (bbox[..., 3] > bbox[..., 1])

@@ -1,4 +1,4 @@
-"""Folded-tile Pallas rasterizer (v2) — the round-2 redesign.
+"""Folded-tile Pallas rasterizer (v2) — the round-2 redesign, round-3 diet.
 
 The v1 kernel (visibility.py) loops triangles in SCALAR code: ~16 SMEM loads
 plus row-block loop management per (triangle, tile) pair, measured ~137
@@ -21,6 +21,15 @@ round-1 notes (PERF_NOTES "Rasterizer roadmap" #2), plus a restructured grid:
   global winner.  Tie-break on exactly equal depth is "smallest triangle id"
   (v1: first-processed) — identical except for exactly coincident surfaces.
 
+Round-3 changes (VERDICT r2 next #1):
+* slim 13-col pair rows (52 B vs 64 B — binning.pack_tri_data_slim): the
+  z_mode flag rides the sign of ±(id+1), the bbox cols the folded kernel
+  never read are gone, and the [P,13] binning gather is ~20% cheaper.
+* inner-loop op diet: min-reduced edge coverage (2 mins + 1 compare instead
+  of 3 compares + 2 ands) and one fused coverage chain.
+* y_origin arrives as a scalar-prefetch operand, so the row-sharded path can
+  pass a traced lax.axis_index-derived origin (ADVICE r2 #1).
+
 Matches the fixed-function rasterizer the reference gets from Vulkan
 (gpu_vulkan.c:1680-1872 graphics pipelines).
 """
@@ -40,11 +49,12 @@ from .setup import TriSetup
 
 FAR = 3.4e38
 BIG_ID = 3.0e38
+NCOL = 13  # binning.pack_tri_data_slim columns
 
 
-def _vis_kernel_folded(starts_ref, minz_ref, pair_ref, depth_out, id_out,
-                       buf, depth_acc, id_acc, sem, *,
-                       tile, chunk, tiles_x, y_origin, hiz):
+def _vis_kernel_folded(starts_ref, minz_ref, yorg_ref, pair_ref,
+                       depth_out, id_out, buf, depth_acc, id_acc, sem, *,
+                       tile, chunk, tiles_x, hiz):
     pix = tile * tile
     t = pl.program_id(0)
     ty = t // tiles_x
@@ -54,7 +64,7 @@ def _vis_kernel_folded(starts_ref, minz_ref, pair_ref, depth_out, id_out,
     start = starts_ref[t]
     end = starts_ref[t + 1]
     n = end - start
-    # block-aligned walk: DMA whole transposed pair blocks [16, chunk] (lane
+    # block-aligned walk: DMA whole transposed pair blocks [NCOL, chunk] (lane
     # dim 128-aligned — Mosaic requires it), mask rows outside [start, end)
     blk0 = start // chunk
     nchunks = jnp.where(n > 0, (end - 1) // chunk - blk0 + 1, 0)
@@ -63,7 +73,7 @@ def _vis_kernel_folded(starts_ref, minz_ref, pair_ref, depth_out, id_out,
     # pixel-coordinate planes (int iota -> f32; f32 iota unsupported)
     pidx = jax.lax.broadcasted_iota(jnp.int32, (chunk, pix), 1)
     px = (tx * tile + pidx % tile).astype(jnp.float32) + 0.5
-    py = (ty * tile + pidx // tile).astype(jnp.float32) + (y_origin + 0.5)
+    py = (ty * tile + pidx // tile + yorg_ref[0]).astype(jnp.float32) + 0.5
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     depth_acc[:] = jnp.full((chunk, pix), FAR, jnp.float32)
@@ -78,27 +88,28 @@ def _vis_kernel_folded(starts_ref, minz_ref, pair_ref, depth_out, id_out,
 
     def eval_chunk(slot, i):
         get_dma(slot, i).wait()
-        d = jnp.swapaxes(buf[slot], 0, 1)   # [chunk, 16] f32
+        d = jnp.swapaxes(buf[slot], 0, 1)   # [chunk, NCOL] f32
         e0 = d[:, 0:1] * px + d[:, 1:2] * py + d[:, 2:3]
         e1 = d[:, 3:4] * px + d[:, 4:5] * py + d[:, 5:6]
         e2 = d[:, 6:7] * px + d[:, 7:8] * py + d[:, 8:9]
         esum = e0 + e1 + e2
+        em = jnp.minimum(jnp.minimum(e0, e1), e2)
         zx, zy, zc = d[:, 9:10], d[:, 10:11], d[:, 11:12]
-        # vertex-interp depth when col 15, else screen-linear plane
+        enc = d[:, 12:13]  # ±(id+1); + = vertex-interp depth, − = plane
         z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
         z_pl = zx * px + zy * py + zc
-        z = jnp.where(d[:, 15:16] > 0.5, z_hp, z_pl)
+        z = jnp.where(enc > 0.0, z_hp, z_pl)
         row_glob = (blk0 + i) * chunk + row
+        rowok = (row_glob >= start) & (row_glob < end)  # my segment only
         cov = (
-            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-            & (esum > 0.0) & (z >= 0.0) & (z <= 1.0)
-            & (row_glob >= start) & (row_glob < end)  # my segment only
+            (em >= 0.0) & (esum > 0.0) & rowok
+            & (z >= 0.0) & (z <= 1.0)
         )
         zm = jnp.where(cov, z, FAR)
         cur = depth_acc[:]
         take = zm < cur
         depth_acc[:] = jnp.where(take, zm, cur)
-        id_acc[:] = jnp.where(take, d[:, 12:13], id_acc[:])
+        id_acc[:] = jnp.where(take, jnp.abs(enc) - 1.0, id_acc[:])
 
     @pl.when(nchunks > 0)
     def _body():
@@ -164,6 +175,8 @@ def rasterize_vis_folded(
     """Folded-tile rasterization of rows [y_origin, y_origin+height).
     Returns (depth [H,W] — +inf empty, tri_id [H,W][, overflow i32[2]]).
 
+    y_origin may be a traced value (e.g. lax.axis_index-derived in the
+    row-sharded frame) — it reaches the kernel as a scalar-prefetch operand.
     overflow[0] is always 0 (this kernel has no per-tile capacity); only a
     pair_capacity overrun (overflow[1] > pair_capacity) can drop triangles.
     hiz: front-to-back pair order + early-exit once the tile is covered
@@ -174,38 +187,40 @@ def rasterize_vis_folded(
     bins = bin_triangles(
         setup, width, height, tile, tile, pair_capacity,
         tile_capacity=0, chunk=chunk, y_origin=y_origin, z_order=hiz,
+        fmt="slim13",
     )
     ty, tx = bins.tiles_y, bins.tiles_x
     n_tiles = ty * tx
     pix = tile * tile
 
-    # transposed chunk blocks [NB, 16, chunk]: the kernel DMAs one [16, chunk]
-    # block per step (lane dim = chunk = 128-aligned, as Mosaic requires)
-    assert bins.pair_data.shape[1] == chunk
+    # transposed chunk blocks [NB, NCOL, chunk]: the kernel DMAs one
+    # [NCOL, chunk] block per step (lane dim = chunk = 128-aligned, as Mosaic
+    # requires)
+    assert bins.pair_data.shape[1:] == (chunk, NCOL)
     blocks = jnp.swapaxes(bins.pair_data, 1, 2)
 
     kernel = functools.partial(
-        _vis_kernel_folded, tile=tile, chunk=chunk, tiles_x=tx,
-        y_origin=float(y_origin), hiz=hiz,
+        _vis_kernel_folded, tile=tile, chunk=chunk, tiles_x=tx, hiz=hiz,
     )
     n_tiles_pad = -(-n_tiles // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
-            pl.BlockSpec((8, pix), lambda t, starts, minz: (t // 8, 0),
+            pl.BlockSpec((8, pix), lambda t, starts, minz, yorg: (t // 8, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pix), lambda t, starts, minz: (t // 8, 0),
+            pl.BlockSpec((8, pix), lambda t, starts, minz, yorg: (t // 8, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, chunk), jnp.float32),
+            pltpu.VMEM((2, NCOL, chunk), jnp.float32),
             pltpu.VMEM((chunk, pix), jnp.float32),
             pltpu.VMEM((chunk, pix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    yorg = jnp.asarray(y_origin, jnp.int32).reshape(1)
     depth_t, id_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -214,7 +229,7 @@ def rasterize_vis_folded(
             jax.ShapeDtypeStruct((n_tiles_pad, pix), jnp.float32),
         ],
         interpret=interpret,
-    )(bins.starts, bins.chunk_minz, blocks)
+    )(bins.starts, bins.chunk_minz, yorg, blocks)
     depth_t = depth_t[:n_tiles]
     id_t = id_t[:n_tiles]
 

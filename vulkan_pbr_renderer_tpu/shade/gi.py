@@ -110,10 +110,18 @@ def voxelize_scene(
     The per-shard partial grids combine with an elementwise max (scatter-max is
     order-independent), so pmax over shards reproduces the single-chip grid
     EXACTLY — the parity contract tested in tests/test_parallel.py.
+
+    Round 3 gather diet (the r3 baseline profile showed ~136 ms of voxelize
+    gathers per sun change): triangle corners/uvs come from the static
+    scene.tri_attr rows (dense slices — tri_attr[:, :9] IS positions[indices]
+    bit-identically), and all per-sample triangle data is packed into ONE
+    [T,19] row so the sample stream does a single 76-byte gather instead of
+    eight separate ones.
     """
-    tri = scene.positions[scene.indices]            # [T,3,3]
-    e1 = tri[:, 1] - tri[:, 0]
-    e2 = tri[:, 2] - tri[:, 0]
+    tri_attr = scene.tri_attr                       # [T,24]
+    p0 = tri_attr[:, 0:3]
+    e1 = tri_attr[:, 3:6] - p0
+    e2 = tri_attr[:, 6:9] - p0
     n = jnp.cross(e1, e2)
     area = 0.5 * jnp.linalg.norm(n, axis=-1)
     tri_normal = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
@@ -162,14 +170,26 @@ def voxelize_scene(
     )
     flip = (r[:, 0] + r[:, 1]) > 1.0
     r = jnp.where(flip[:, None], 1.0 - r, r)
-    pos = tri[tri_of, 0] + r[:, 0:1] * e1[tri_of] + r[:, 1:2] * e2[tri_of]
-    uv_tri = scene.uvs[scene.indices]               # [T,3,2]
-    uv = (
-        uv_tri[tri_of, 0]
-        + r[:, 0:1] * (uv_tri[tri_of, 1] - uv_tri[tri_of, 0])
-        + r[:, 1:2] * (uv_tri[tri_of, 2] - uv_tri[tri_of, 0])
-    )
-    mat = scene.mat_id[tri_of]
+
+    # ONE per-sample gather row: p0(3) e1(3) e2(3) uv0(2) duv1(2) duv2(2)
+    # normal(3) mat(1) — 19 f32.  (uv cols 18:24 of tri_attr == uvs[indices].)
+    uv0 = tri_attr[:, 18:20]
+    packrow = jnp.concatenate(
+        [
+            p0, e1, e2,
+            uv0,
+            tri_attr[:, 20:22] - uv0,
+            tri_attr[:, 22:24] - uv0,
+            tri_normal,
+            scene.mat_id.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )                                               # [T,19]
+    row = packrow[tri_of]                           # [S,19] — THE gather
+    pos = row[:, 0:3] + r[:, 0:1] * row[:, 3:6] + r[:, 1:2] * row[:, 6:9]
+    uv = row[:, 9:11] + r[:, 0:1] * row[:, 11:13] + r[:, 1:2] * row[:, 13:15]
+    sample_normal = row[:, 15:18]
+    mat = row[:, 18].astype(jnp.int32)
 
     lod = jnp.full(pid.shape, texture_lod, jnp.float32)
     texel = sampling.sample_mip_atlas_array_window_nearest(
@@ -184,7 +204,7 @@ def voxelize_scene(
     shadow = sampling.sample_depth_compare(sun_depth, uv_sun, p_sun[..., 2] - 0.001)
 
     l = -sun_dir
-    ldotn = jnp.maximum(jnp.sum(tri_normal[tri_of] * l, -1), 0.0)
+    ldotn = jnp.maximum(jnp.sum(sample_normal * l, -1), 0.0)
     radiance = emissive + (shadow * ldotn)[..., None] * base_color * jnp.asarray(
         sun_emission, jnp.float32
     )
@@ -230,6 +250,37 @@ def pack_grid_u8(grid):
     )
 
 
+def pack_grid_alpha_u16(grid):
+    """[D,H,W,4] grid -> alpha-only 2x2x2-window pack, uint16 [D,H,W,8].
+
+    The fast-GI blockage skip needs ONLY alpha; its 16-byte u16 rows gather at
+    ~165 M rows/s vs the 32-byte u8 rgb pack's flat ~78 (PERF_NOTES row-format
+    sweep) — the round-3 GI diet (VERDICT r2 next #2).  Alpha is quantized
+    exactly like pack_grid_u8's alpha channel (round*255, clip 254), so the
+    skip's open/blocked decisions are bit-identical to sampling the rgb pack.
+    """
+    a = jnp.clip(jnp.round(grid[..., 3:4] * 255.0), 0.0, 254.0).astype(jnp.uint16)
+    p = jnp.pad(a, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    d, h, w = grid.shape[:3]
+    return jnp.concatenate(
+        [
+            p[dz : dz + d, dy : dy + h, dx : dx + w]
+            for dz in range(2)
+            for dy in range(2)
+            for dx in range(2)
+        ],
+        axis=-1,
+    )
+
+
+def _sample_alpha_u16(agrid, ro):
+    """Trilinear alpha at grid-NDC ro from a pack_grid_alpha_u16 table."""
+    return sampling.sample_trilinear_window(
+        agrid, ro * 0.5 + 0.5, 1,
+        decode=lambda v: v * (1.0 / 255.0),
+    )[..., 0]
+
+
 def _decode_grid_u8(v):
     """Per-corner decode for pack_grid_u8 rows: u8 -> raw radiance + alpha.
     Runs BEFORE the trilinear lerp — interpolating in the compressed space
@@ -260,14 +311,45 @@ def grid_sample(grid, ro_grid):
 # 3. Radiance marches
 
 
-def _skip_blockage(grid, ro, rd, steps, open_thresh):
+def _skip_blockage(grid, ro, rd, steps, open_thresh, alpha_grid=None):
     """Advance until the first non-solid voxel (glsl:243-251 / 280-288).
 
     Returns (ro_after, sum4) where sum4 accumulates (rgb,1) of the first open
     sample; sum4.a stays ~0 if no opening was found.
+
+    With alpha_grid (pack_grid_alpha_u16): the march reads the 16-byte
+    alpha-only rows (~2x the gather rate of the rgb pack) and ONE rgb row is
+    fetched at the stop position afterwards — the stop position equals the
+    first-open sample point (ro freezes on found), and the alpha quantization
+    matches the rgb pack exactly, so the result is identical to the rgb-row
+    march.
     """
     sum0 = jnp.zeros(ro.shape[:-1] + (4,), ro.dtype).at[..., 3].set(1e-4)
     found0 = jnp.zeros(ro.shape[:-1], bool)
+
+    if alpha_grid is not None:
+        def body_a(i, carry):
+            ro_c, found = carry
+            ro_n = jnp.where(found[..., None], ro_c, ro_c + rd)
+            a = _sample_alpha_u16(alpha_grid, ro_n)
+            return ro_n, found | (a < open_thresh)
+
+        carry = (ro, found0)
+        if steps <= 4:
+            for i in range(steps):
+                carry = body_a(i, carry)
+        else:
+            carry = jax.lax.fori_loop(0, steps, body_a, carry)
+        ro_f, found = carry
+        s = grid_sample(grid, ro_f)
+        sum4 = jnp.concatenate(
+            [
+                jnp.where(found[..., None], s[..., :3], 0.0),
+                1e-4 + found[..., None].astype(ro.dtype),
+            ],
+            -1,
+        )
+        return ro_f, sum4, found
 
     def body(i, carry):
         ro_c, sum_c, found = carry
@@ -315,7 +397,7 @@ def _tone(sum4):
 
 def sample_radiance_fast(grid, ro_world, rd_unit, lightgrid_scale,
                          dist_voxels=2.5, skip_steps=4, open_thresh=0.3,
-                         n_samples=1, sample_spread=3.5):
+                         n_samples=1, sample_spread=3.5, alpha_grid=None):
     """Irradiance-cache GI: the swept lightgrid already holds propagated
     radiance in every empty voxel (sweep_lightgrid), so instead of the
     reference's ~40-step hybrid march we take one tone-compressed trilinear
@@ -331,7 +413,8 @@ def sample_radiance_fast(grid, ro_world, rd_unit, lightgrid_scale,
     ro = ro_world * lightgrid_scale
 
     ro, sum4, found = _skip_blockage(grid, ro, rd, steps=skip_steps,
-                                     open_thresh=open_thresh)
+                                     open_thresh=open_thresh,
+                                     alpha_grid=alpha_grid)
     # seed with the first-open voxel's radiance — the march seeds its sum
     # with phase A's sample too (glsl:288 -> 399), and near-emitter voxels
     # carry the warm glow the far samples miss (round-2 A/B diff)
@@ -383,14 +466,16 @@ def screen_probe(open_grid_ndc, lightgrid_scale, clip_from_world, depth_tex,
     return hit, prev * ss_intensity
 
 
-def sample_radiance(grid, ro_world, rd_unit, lightgrid_scale, num_steps=12, step_scale=1.0):
+def sample_radiance(grid, ro_world, rd_unit, lightgrid_scale, num_steps=12,
+                    step_scale=1.0, alpha_grid=None):
     """Pure voxel-space GI march, SampleRadiance (lighting_pass.glsl:236-271)."""
     gsize = grid.shape[0]
     voxel_scale = 2.0 / gsize
     rd = rd_unit * voxel_scale
     ro = ro_world * lightgrid_scale
 
-    ro, sum4, _ = _skip_blockage(grid, ro, rd, steps=12, open_thresh=0.1)
+    ro, sum4, _ = _skip_blockage(grid, ro, rd, steps=12, open_thresh=0.1,
+                                 alpha_grid=alpha_grid)
     no_open = sum4[..., 3] < 0.5
     sum4 = _voxel_march(grid, ro, rd * step_scale, sum4, num_steps, 0.0, False)
     out = _tone(sum4)
@@ -418,6 +503,7 @@ def sample_radiance_with_screen_trace(
     max_ss_steps=24,
     prev_base=None,
     prev_levels=None,
+    alpha_grid=None,
 ):
     """Hybrid screen-space + voxel GI march — the port of
     SampleRadianceWithScreenSpaceTrace (lighting_pass.glsl:273-424).
@@ -437,7 +523,8 @@ def sample_radiance_with_screen_trace(
     ro0 = ro_world * lightgrid_scale
 
     # -- phase A: skip initial blockage (4 steps, open threshold 0.3)
-    ro, sum4, _ = _skip_blockage(grid, ro0, rd, steps=4, open_thresh=0.3)
+    ro, sum4, _ = _skip_blockage(grid, ro0, rd, steps=4, open_thresh=0.3,
+                                 alpha_grid=alpha_grid)
 
     # -- phase B: screen-space trace toward the first open point
     open_world = ro / lightgrid_scale
@@ -506,7 +593,12 @@ def sample_radiance_with_screen_trace(
         asum = 0.0
         for k in (0.2, 0.4, 0.6):
             mixk = t_start + (t_end - t_start) * (noff + k)[..., None]
-            asum = asum + _gs_uvw(grid, mixk)[..., 3]
+            if alpha_grid is not None:  # 16B alpha rows, ~2x gather rate
+                asum = asum + sampling.sample_trilinear_window(
+                    alpha_grid, mixk, 1, decode=lambda v: v * (1.0 / 255.0)
+                )[..., 0]
+            else:
+                asum = asum + _gs_uvw(grid, mixk)[..., 3]
         solid = asum >= 1.5
 
         # translucent surface: boost the step and keep going (glsl:357-361)

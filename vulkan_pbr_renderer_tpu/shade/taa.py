@@ -29,16 +29,6 @@ def _mitchell(x, b=1.0 / 3.0, c=1.0 / 3.0):
     return 0.0
 
 
-def _shift_edge(img, dy, dx):
-    """Image shifted so out[y,x] = img[y+dy, x+dx], edge-clamped."""
-    h, w = img.shape[:2]
-    pad = [(1, 1), (1, 1)] + [(0, 0)] * (img.ndim - 2)
-    p = jnp.pad(img, pad, mode="edge")
-    return jax.lax.dynamic_slice_in_dim(
-        jax.lax.dynamic_slice_in_dim(p, 1 + dy, h, 0), 1 + dx, w, 1
-    )
-
-
 def taa_resolve(
     lighting,        # [H,W,3] current lighting result
     depth,           # [H,W]
@@ -53,27 +43,40 @@ def taa_resolve(
     """Returns the new TAA output [H,W,3]."""
     h, w = depth.shape
     offsets = [(dy, dx) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    neighbors = jnp.stack([_shift_edge(lighting, dy, dx) for (dy, dx) in offsets])
-    weights = jnp.asarray(
-        [_mitchell(np.hypot(dx, dy)) for (dy, dx) in offsets], jnp.float32
-    )
+    weights = [_mitchell(np.hypot(dx, dy)) for (dy, dx) in offsets]
+    wsum = float(sum(weights))
 
-    source = jnp.einsum("nhwc,n->hwc", neighbors, weights) / jnp.sum(weights)
-    m1 = jnp.mean(neighbors, axis=0)
-    m2 = jnp.mean(neighbors**2, axis=0)
+    # 3x3 source filter + moments, accumulated incrementally over edge-clamped
+    # shifts of ONE padded copy — the round-2 jnp.stack materialized a
+    # [9,H,W,3] tensor (226 MB of HBM traffic) that showed up as 4.7 ms of
+    # concatenate + 5 ms of dot_general in the round-3 baseline profile.
+    pad = jnp.pad(lighting, [(1, 1), (1, 1), (0, 0)], mode="edge")
+    source = jnp.zeros_like(lighting)
+    m1 = jnp.zeros_like(lighting)
+    m2 = jnp.zeros_like(lighting)
+    for (dy, dx), wgt in zip(offsets, weights):
+        nb = jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx, 0), lighting.shape)
+        source = source + jnp.float32(wgt) * nb
+        m1 = m1 + nb
+        m2 = m2 + nb * nb
+    source = source * jnp.float32(1.0 / wsum)
+    m1 = m1 * jnp.float32(1.0 / 9.0)
+    m2 = m2 * jnp.float32(1.0 / 9.0)
     sigma = jnp.sqrt(jnp.abs(m2 - m1 * m1))
     minc = m1 - gamma * sigma
     maxc = m1 + gamma * sigma
 
     # closest-depth velocity dilation — dense select tournament (argmin +
     # take_along_axis lower to gathers on TPU)
+    dpad = jnp.pad(depth, [(1, 1), (1, 1)], mode="edge")
+    vpad = jnp.pad(velocity, [(1, 1), (1, 1), (0, 0)], mode="edge")
     best_d = depth
     vel = velocity
     for (dy, dx) in offsets:
         if dy == 0 and dx == 0:
             continue
-        d_n = _shift_edge(depth, dy, dx)
-        v_n = _shift_edge(velocity, dy, dx)
+        d_n = jax.lax.dynamic_slice(dpad, (1 + dy, 1 + dx), depth.shape)
+        v_n = jax.lax.dynamic_slice(vpad, (1 + dy, 1 + dx, 0), velocity.shape)
         take = d_n < best_d
         best_d = jnp.where(take, d_n, best_d)
         vel = jnp.where(take[..., None], v_n, vel)
@@ -90,11 +93,12 @@ def taa_resolve(
     #  * luma: full 16-tap Catmull-Rom from a 4x4 window of f16 luma
     #    ([H,W,16], 32B rows, 67 MB -> VMEM-promoted) — sharpness lives in
     #    luma;
-    #  * chroma: bilinear CoCg from a 2x2 f16 window ([H,W,8], 16B rows).
+    #  * chroma + prev velocity: ONE bilinear 2x2 f16 window of (Co,Cg,vx,vy)
+    #    ([H,W,16], 32B rows) — both are sampled at the same reprojected uv,
+    #    so sharing the row halves what used to be two separate fetches
+    #    (round 3; the baseline profile showed 35 ms of TAA gathers).
     # 2 gather rows/pixel total.  The reference's RGB Catmull
     # (taa_resolve.glsl:125-174) differs only by the chroma filter.
-    wvel = sampling.window_pack(velocity_prev, 2, 2, dtype=jnp.float16)
-    prev_vel = sampling.sample_bilinear_window(wvel, h, w, reproj_uv, 2)
     if catmull_history:
         y = (0.25 * history[..., 0] + 0.5 * history[..., 1]
              + 0.25 * history[..., 2])
@@ -108,21 +112,29 @@ def taa_resolve(
         # 0.36% low-end steps that amplified benign fp noise past the
         # sharded-parity tolerance.)
         wluma = sampling.window_pack(y[..., None], 4, 4, dtype=jnp.float16)
-        wchroma = sampling.window_pack(
-            jnp.stack([co, cg], -1), 2, 2, dtype=jnp.float16
+        wcv = sampling.window_pack(
+            jnp.concatenate([jnp.stack([co, cg], -1), velocity_prev], -1),
+            2, 2, dtype=jnp.float16,
         )
 
         y_s = sampling.sample_catmull_rom_window_decode(
             wluma, h, w, reproj_uv, 1
         )[..., 0]
         y_s = jnp.maximum(y_s, 0.0)   # Catmull undershoot
-        ch = sampling.sample_bilinear_window(wchroma, h, w, reproj_uv, 2)
-        co_s, cg_s = ch[..., 0], ch[..., 1]
+        cv = sampling.sample_bilinear_window(wcv, h, w, reproj_uv, 4)
+        co_s, cg_s = cv[..., 0], cv[..., 1]
+        prev_vel = cv[..., 2:4]
         prev_color = jnp.stack(
             [y_s + co_s - cg_s, y_s + cg_s, y_s - co_s - cg_s], -1
         )
     else:
-        prev_color = sampling.sample_bilinear(history, reproj_uv)
+        whv = sampling.window_pack(
+            jnp.concatenate([history, velocity_prev], -1), 2, 2,
+            dtype=jnp.float16,
+        )
+        hv = sampling.sample_bilinear_window(whv, h, w, reproj_uv, 5)
+        prev_color = hv[..., :3]
+        prev_vel = hv[..., 3:5]
     prev_color = jnp.clip(prev_color, minc, maxc)
 
     weight_b = blend + velocity_rejection * jnp.linalg.norm(prev_vel - vel, axis=-1)
