@@ -73,6 +73,7 @@ def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull,
         if cfg.raster_kernel == "folded":
             d, t, ovf = visibility_v2.rasterize_vis_folded(
                 s, width, rows, tile=cfg.folded_tile, chunk=cfg.tri_chunk,
+                pair_capacity=cfg.pair_capacity_factor * scene.num_tris,
                 y_origin=y_origin, return_overflow=True, hiz=cfg.raster_hiz,
             )
         else:
