@@ -15,12 +15,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "base": {},
+    "base": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_level=1),
     "skip4": dict(gi_fast_skip_steps=4),
     "samples3": dict(gi_fast_samples=3),
     "skip4_samples3": dict(gi_fast_skip_steps=4, gi_fast_samples=3),
     "noprobe": dict(gi_fast_screen_probe=False),
     "spread2": dict(gi_fast_sample_spread=2.0),
+    "hit6": dict(gi_fast_spec_hit_steps=6, gi_fast_probe_level=1),
+    "hit6_l0": dict(gi_fast_spec_hit_steps=6, gi_fast_probe_level=0),
+    "hit10_l0": dict(gi_fast_spec_hit_steps=10, gi_fast_probe_level=0),
+    "hit6_dh4_l0": dict(gi_fast_spec_hit_steps=6, gi_fast_diffuse_hit_steps=4,
+                        gi_fast_probe_level=0),
+    "margin0": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_margin=0.0),
+    "dssi1": dict(gi_fast_spec_hit_steps=0, gi_diffuse_ss_intensity=1.0),
+    "dh2_m0": dict(gi_fast_spec_hit_steps=2, gi_fast_diffuse_hit_steps=2,
+                   gi_fast_probe_margin=0.0),
 }
 
 

@@ -69,6 +69,17 @@ class RenderConfig:
     gi_fast_sample_spread: float = 3.0     # voxels between extra samples
     gi_fast_screen_probe: bool = True      # one-probe prev-frame bounce
     gi_fast_probe_margin: float = 5e-5     # ndc-z hit margin for the probe
+    gi_fast_spec_hit_steps: int = 0        # alpha-march the specular ray to
+                                           # its next BLOCKED voxel and probe
+                                           # the prev frame THERE (the
+                                           # reference's march resolves
+                                           # reflections at the hit point,
+                                           # lighting_pass.glsl:371-384);
+                                           # 0 = probe the first-open point
+                                           # (measured BETTER, docs/tune_gi)
+    gi_fast_diffuse_hit_steps: int = 0     # same for the diffuse bent ray
+    gi_fast_probe_level: int = 1           # prev-frame pyramid level for the
+                                           # probe (0 = half res, sharper)
 
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001

@@ -18,8 +18,11 @@ Inside one frame (per dp slice), each sp shard:
   3. sweeps the (replicated) lightgrid locally — cheaper than communicating
   4. rasterizes + G-buffers + lights its own rows (the heavy per-pixel work;
      the GI screen-space trace reads the all_gathered full depth)
-  5. all_gathers the HDR/velocity rows; TAA/bloom/tonemap run replicated
-     (their cost is a few % of the frame; sharding them needs halo exchanges)
+  5. all_gathers the HDR/velocity rows, then runs TAA, the level-1 bloom
+     downsample, the final full-res tent and the tonemap row-sharded via
+     edge-clamped halo slabs of the gathered buffers (_post_stack_sharded —
+     round 3, VERDICT r2 #7); only the <= H/4-sized deep bloom levels stay
+     replicated (sub-ms of work)
 
 Collectives ride ICI (all_gather/pmax over 'sp').  Temporal state is carried
 replicated within a dp slice and the step returns the full new FrameState, so
@@ -43,10 +46,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..app import renderer as rmod
 from ..config import RenderConfig
+from ..gpu import sampling
 from ..raster import setup as rsetup
 from ..raster import visibility, visibility_v2, xla_raster
+from ..shade import bloom as bloom_mod
 from ..shade import gbuffer as gb
-from ..shade import gi, lighting
+from ..shade import gi, lighting, taa
+from ..utils import color as colorlib
 
 
 def make_mesh(n_devices=None, dp=1):
@@ -85,6 +91,109 @@ def _rasterize_rows(scene, mat, width, full_height, rows, y_origin, cull,
         d, t = xla_raster.rasterize_vis(s, width, rows, y_origin=y_origin)
         ovf = jnp.zeros((2,), jnp.int32)
     return s, d, t, ovf
+
+
+def _edge_slab(full, y0, rows, top, bottom):
+    """Rows [y0-top, y0+rows+bottom) of `full` with edge clamping (y0 may be
+    traced) — edge-pad then dynamic-slice, exactly matching jnp.pad 'edge'."""
+    p = jnp.pad(full, [(top, bottom)] + [(0, 0)] * (full.ndim - 1), mode="edge")
+    return jax.lax.dynamic_slice_in_dim(p, y0, rows + top + bottom, 0)
+
+
+def _post_stack_sharded(hdr_full, depth_full, vel_full, state, cfg, y0, rows):
+    """Row-sharded passes 6-9 (VERDICT r2 #7): each shard resolves TAA, the
+    level-1 bloom downsample, the final full-res tent, and the tonemap for its
+    OWN rows; only the tiny deep bloom levels (<= H/4 x W/4) run replicated.
+    The history/velocity-prev tables stay replicated state (the reprojected uv
+    can land on any row), so no halo is needed for them; the 3x3/13-tap/9-tap
+    neighborhoods come from edge-clamped halo slabs of the all_gathered
+    full-height buffers.  Exactness vs renderer.post_stack is pinned by
+    tests/test_parallel.py.
+
+    Returns (final srgb rows, taa_out FULL [via all_gather], pyramid)."""
+    h, w = cfg.height, cfg.width
+    sx = bloom_mod._shift_edge
+
+    if cfg.enable_taa:
+        history = jnp.where(state.frame_idx == 0, hdr_full, state.taa_history)
+        taa_rows = taa.taa_resolve(
+            _edge_slab(hdr_full, y0, rows, 1, 1),
+            _edge_slab(depth_full, y0, rows, 1, 1),
+            _edge_slab(vel_full, y0, rows, 1, 1),
+            state.velocity_prev, history,
+            cfg.taa_blend, cfg.taa_velocity_rejection,
+            catmull_history=cfg.taa_catmull_history,
+            halo=1, row_offset=y0, full_height=h,
+        )
+        taa_out = jax.lax.all_gather(taa_rows, "sp", axis=0, tiled=True)
+    else:
+        taa_rows = jax.lax.dynamic_slice_in_dim(hdr_full, y0, rows, 0)
+        taa_out = hdr_full
+
+    if not cfg.enable_bloom:
+        bloom_rows = taa_rows
+        pyramid = state.prev_pyramid
+    else:
+        # ---- level-1 13-tap downsample, sharded (the only full-res level).
+        # The 2:1 fast path = two box2 phase images + half-res shifts
+        # (bloom_mod.downsample_13tap); build both phase slabs with one
+        # half-res halo row each side from an even-aligned source slab, then
+        # fix the two frame-boundary halo rows so the half-res edge clamp
+        # matches the single-chip _shift_edge exactly (the source-level edge
+        # pad would give box2(src0, src0) where single-chip replicates
+        # box2(src0, src1)).
+        hr = rows // 2
+        slab = _edge_slab(taa_out, y0, rows, 2, 4)        # rows+6, even-aligned
+        b00 = bloom_mod._box2(slab)                       # [hr+3] half rows
+        b11 = bloom_mod._box2(sx(slab, 1, 1))
+        at_top = y0 == 0
+        at_bot = y0 + rows == h
+        b00 = b00.at[0].set(jnp.where(at_top, b00[1], b00[0]))
+        b00 = b00.at[hr + 1].set(jnp.where(at_bot, b00[hr], b00[hr + 1]))
+        b11 = b11.at[0].set(jnp.where(at_top, b11[1], b11[0]))
+
+        def c(a, dy):  # center rows of a phase slab, shifted dy in y
+            return jax.lax.dynamic_slice_in_dim(a, 1 + dy, hr, 0)
+
+        d1 = 0.125 * c(b00, 0)
+        for (dy, dx) in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            d1 = d1 + 0.03125 * sx(c(b00, dy), 0, dx)
+        for (dy, dx) in ((-1, 0), (0, -1), (1, 0), (0, 1)):
+            d1 = d1 + 0.0625 * sx(c(b00, dy), 0, dx)
+        for (dy, dx) in ((-1, -1), (-1, 0), (0, -1), (0, 0)):
+            d1 = d1 + 0.125 * sx(c(b11, dy), 0, dx)
+        d1 = jnp.minimum(d1, 1.0)                         # mip-1 firefly clamp
+        d1_full = jax.lax.all_gather(d1, "sp", axis=0, tiled=True)
+
+        # ---- deeper levels + the up chain: <= [H/4, W/4] — replicated ----
+        passes = cfg.bloom_pass_count
+        sizes = [(max(1, h >> i), max(1, w >> i)) for i in range(passes + 1)]
+        downs = [d1_full]
+        cur = d1_full
+        for i in range(2, passes + 1):
+            cur = bloom_mod.downsample_13tap(cur, *sizes[i])
+            downs.append(cur)
+        for i in range(passes - 1, 0, -1):
+            cur = bloom_mod.upsample_tent9(cur, *sizes[i], factor=1.0)
+
+        # ---- final full-res tent, sharded: up2 slab covering dst rows
+        # [y0-3, y0+rows+3); boundary clamps are exact because up[0]==up1[0]
+        # and up[-1]==up1[-1] under the half-pixel 2x upsample
+        up_slab = bloom_mod._up2(_edge_slab(cur, y0 // 2, rows // 2, 2, 2))
+        tent = jnp.zeros_like(taa_rows)
+        for dy, wy in ((-3, 1.0), (0, 2.0), (3, 1.0)):
+            for dx, wx in ((-3, 1.0), (0, 2.0), (3, 1.0)):
+                tent = tent + (wx * wy) * sx(
+                    jax.lax.dynamic_slice_in_dim(up_slab, 4 + dy, rows, 0),
+                    0, dx,
+                )
+        bloom_rows = taa_rows + tent * (cfg.bloom_strength / 16.0)
+        pyramid = sampling.pack_mip_atlas(downs)
+
+    final_rows = colorlib.gamma_encode(
+        colorlib.aces_approx(cfg.exposure * bloom_rows)
+    )
+    return final_rows, taa_out, pyramid
 
 
 def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla"):
@@ -190,12 +299,13 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
             depth_full=depth_full,
         )
 
-        # ---- gather HDR + velocity; passes 6-9 run replicated ------------
+        # ---- gather HDR + velocity; passes 6-9 run row-sharded -----------
         hdr = jax.lax.all_gather(hdr_rows, "sp", axis=0, tiled=True)
         velocity = jax.lax.all_gather(gbuf.velocity, "sp", axis=0, tiled=True)
-        final, taa_out, pyramid = rmod.post_stack(
-            hdr, depth_full, velocity, state, cfg
+        final_rows, taa_out, pyramid = _post_stack_sharded(
+            hdr, depth_full, velocity, state, cfg, y0, rows
         )
+        final = jax.lax.all_gather(final_rows, "sp", axis=0, tiled=True)
 
         new_state = rmod.FrameState(
             lightgrid=lightgrid,

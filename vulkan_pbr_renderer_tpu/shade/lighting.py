@@ -279,12 +279,14 @@ def lighting_pass(
             alpha_grid=walpha,
         )
         if cfg.gi_mode == "fast" and cfg.gi_fast_screen_probe:
-            # quarter-res prev-frame level for the screen probe: one bilinear
-            # window row per probe (gi.screen_probe rationale)
+            # reduced-res prev-frame level for the screen probe: one bilinear
+            # window row per probe (gi.screen_probe rationale); level 0 =
+            # half res (sharper reflections), 1 = quarter res
+            lv = cfg.gi_fast_probe_level
             offs, _ = sampling.mip_offsets(fh // 2, w // 2,
                                            cfg.bloom_pass_count)
-            plh, plw = fh // 4, w // 4
-            prev_lvl = res.prev_frame_atlas[:plh, offs[1]:offs[1] + plw]
+            plh, plw = fh // (2 << lv), w // (2 << lv)
+            prev_lvl = res.prev_frame_atlas[:plh, offs[lv]:offs[lv] + plw]
             wprev = sampling.window_pack(prev_lvl, 2, 2, dtype=jnp.float16)
 
             def probe(ro_open, ss_intensity):
@@ -295,12 +297,22 @@ def lighting_pass(
                 )
         else:
             probe = None
+        voxel_step = 2.0 / cfg.lightgrid_size
         if cfg.gi_mode == "fast":
             ambient, ro_open = gi.sample_radiance_fast(
                 wgrid, pwd, bent, cfg.lightgrid_scale, **fast_kw
             )
             if probe is not None:
-                hit, ss_rgb = probe(ro_open, cfg.gi_diffuse_ss_intensity)
+                if cfg.gi_fast_diffuse_hit_steps > 0:
+                    ro_p, hit_m = gi.march_to_hit(
+                        walpha, ro_open,
+                        bent * (voxel_step * cfg.gi_diffuse_step_scale),
+                        cfg.gi_fast_diffuse_hit_steps,
+                    )
+                else:
+                    ro_p, hit_m = ro_open, True
+                hit, ss_rgb = probe(ro_p, cfg.gi_diffuse_ss_intensity)
+                hit = hit & hit_m
                 ambient = jnp.where(hit[..., None], ss_rgb, ambient)
         else:
             ambient = gi.sample_radiance_with_screen_trace(
@@ -332,7 +344,16 @@ def lighting_pass(
                 wgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0, **fast_kw
             )
             if probe is not None:
-                hit_s, ss_rgb_s = probe(ro_open_s, cfg.gi_specular_ss_intensity)
+                if cfg.gi_fast_spec_hit_steps > 0:
+                    ro_ps, hit_ms = gi.march_to_hit(
+                        walpha, ro_open_s,
+                        r * (voxel_step * cfg.gi_specular_step_scale),
+                        cfg.gi_fast_spec_hit_steps,
+                    )
+                else:
+                    ro_ps, hit_ms = ro_open_s, True
+                hit_s, ss_rgb_s = probe(ro_ps, cfg.gi_specular_ss_intensity)
+                hit_s = hit_s & hit_ms
                 spec = jnp.where(hit_s[..., None], ss_rgb_s, spec)
         else:
             spec = gi.sample_radiance_with_screen_trace(

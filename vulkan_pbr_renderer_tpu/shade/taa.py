@@ -30,18 +30,31 @@ def _mitchell(x, b=1.0 / 3.0, c=1.0 / 3.0):
 
 
 def taa_resolve(
-    lighting,        # [H,W,3] current lighting result
-    depth,           # [H,W]
-    velocity,        # [H,W,2] current ndc velocity
-    velocity_prev,   # [H,W,2] previous frame's velocity buffer
-    history,         # [H,W,3] previous TAA output
+    lighting,        # [H,W,3] current lighting result (+2 halo rows if halo=1)
+    depth,           # [H,W] (+halo)
+    velocity,        # [H,W,2] current ndc velocity (+halo)
+    velocity_prev,   # [FH,W,2] previous frame's velocity buffer (full height)
+    history,         # [FH,W,3] previous TAA output (full height)
     blend=0.05,
     velocity_rejection=1000.0,
     gamma=1.0,
     catmull_history=True,
+    halo=0,
+    row_offset=0,
+    full_height=None,
 ):
-    """Returns the new TAA output [H,W,3]."""
-    h, w = depth.shape
+    """Returns the new TAA output [H,W,3] (H = input rows − 2*halo).
+
+    Row-sharded mode (parallel/sharding.py): pass lighting/depth/velocity as
+    this shard's rows WITH one edge-clamped halo row on each side (halo=1),
+    plus row_offset/full_height; history and velocity_prev stay full-height
+    (they are replicated state, and the reprojected uv can land on any row).
+    The halo supplies the 3x3 neighborhoods, so the sharded output equals the
+    matching rows of the single-chip resolve.
+    """
+    w = depth.shape[1]
+    h = depth.shape[0] - 2 * halo
+    fh = full_height or h
     offsets = [(dy, dx) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     weights = [_mitchell(np.hypot(dx, dy)) for (dy, dx) in offsets]
     wsum = float(sum(weights))
@@ -50,12 +63,15 @@ def taa_resolve(
     # shifts of ONE padded copy — the round-2 jnp.stack materialized a
     # [9,H,W,3] tensor (226 MB of HBM traffic) that showed up as 4.7 ms of
     # concatenate + 5 ms of dot_general in the round-3 baseline profile.
-    pad = jnp.pad(lighting, [(1, 1), (1, 1), (0, 0)], mode="edge")
-    source = jnp.zeros_like(lighting)
-    m1 = jnp.zeros_like(lighting)
-    m2 = jnp.zeros_like(lighting)
+    # With halo=1 the rows are already haloed; only x needs the edge pad.
+    ypad = (1 - halo, 1 - halo)
+    pad = jnp.pad(lighting, [ypad, (1, 1), (0, 0)], mode="edge")
+    out3 = (h, w, 3)
+    source = jnp.zeros(out3, lighting.dtype)
+    m1 = jnp.zeros(out3, lighting.dtype)
+    m2 = jnp.zeros(out3, lighting.dtype)
     for (dy, dx), wgt in zip(offsets, weights):
-        nb = jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx, 0), lighting.shape)
+        nb = jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx, 0), out3)
         source = source + jnp.float32(wgt) * nb
         m1 = m1 + nb
         m2 = m2 + nb * nb
@@ -68,21 +84,21 @@ def taa_resolve(
 
     # closest-depth velocity dilation — dense select tournament (argmin +
     # take_along_axis lower to gathers on TPU)
-    dpad = jnp.pad(depth, [(1, 1), (1, 1)], mode="edge")
-    vpad = jnp.pad(velocity, [(1, 1), (1, 1), (0, 0)], mode="edge")
-    best_d = depth
-    vel = velocity
+    dpad = jnp.pad(depth, [ypad, (1, 1)], mode="edge")
+    vpad = jnp.pad(velocity, [ypad, (1, 1), (0, 0)], mode="edge")
+    best_d = jax.lax.dynamic_slice(dpad, (1, 1), (h, w))
+    vel = jax.lax.dynamic_slice(vpad, (1, 1, 0), (h, w, 2))
     for (dy, dx) in offsets:
         if dy == 0 and dx == 0:
             continue
-        d_n = jax.lax.dynamic_slice(dpad, (1 + dy, 1 + dx), depth.shape)
-        v_n = jax.lax.dynamic_slice(vpad, (1 + dy, 1 + dx, 0), velocity.shape)
+        d_n = jax.lax.dynamic_slice(dpad, (1 + dy, 1 + dx), (h, w))
+        v_n = jax.lax.dynamic_slice(vpad, (1 + dy, 1 + dx, 0), (h, w, 2))
         take = d_n < best_d
         best_d = jnp.where(take, d_n, best_d)
         vel = jnp.where(take[..., None], v_n, vel)
 
     u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
-    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset + 0.5) / fh
     uv = jnp.stack([jnp.broadcast_to(u, (h, w)), jnp.broadcast_to(v, (h, w))], -1)
     reproj_uv = uv - vel * 0.5
 
@@ -118,10 +134,10 @@ def taa_resolve(
         )
 
         y_s = sampling.sample_catmull_rom_window_decode(
-            wluma, h, w, reproj_uv, 1
+            wluma, fh, w, reproj_uv, 1
         )[..., 0]
         y_s = jnp.maximum(y_s, 0.0)   # Catmull undershoot
-        cv = sampling.sample_bilinear_window(wcv, h, w, reproj_uv, 4)
+        cv = sampling.sample_bilinear_window(wcv, fh, w, reproj_uv, 4)
         co_s, cg_s = cv[..., 0], cv[..., 1]
         prev_vel = cv[..., 2:4]
         prev_color = jnp.stack(
@@ -132,7 +148,7 @@ def taa_resolve(
             jnp.concatenate([history, velocity_prev], -1), 2, 2,
             dtype=jnp.float16,
         )
-        hv = sampling.sample_bilinear_window(whv, h, w, reproj_uv, 5)
+        hv = sampling.sample_bilinear_window(whv, fh, w, reproj_uv, 5)
         prev_color = hv[..., :3]
         prev_vel = hv[..., 3:5]
     prev_color = jnp.clip(prev_color, minc, maxc)
