@@ -110,25 +110,69 @@ def main():
     }
 
     if os.environ.get("BENCH_SSIM", "1") == "1":
-        # fidelity of the TPU-fast GI vs the reference-parity hybrid march
-        # (VERDICT r1 #6): matched frames at half res (bounds the extra
-        # reference-GI compile), SSIM over the final sRGB images.
+        # fidelity of the TPU-fast GI vs the reference-parity hybrid march:
+        # FULL-res matched frames at two camera points, settled to steady
+        # state (VERDICT r2 #3 tightened this from r2's half-res single
+        # point), SSIM over the final sRGB images.
         from vulkan_pbr_renderer_tpu.utils.image import ssim
         import numpy as np
 
-        qcfg = cfg.replace(width=cfg.width // 2, height=cfg.height // 2 // 32 * 32)
-        cam_q = make_camera(*suntemple.camera_path(0.3), qcfg)
-        imgs = {}
-        for mode in ("fast", "reference"):
-            rq = Renderer(qcfg.replace(gi_mode=mode), scene,
-                          raster_backend=backend)
-            img = None
-            for k in range(4):  # settle the 3-axis GI sweep + TAA + the
-                                # prev-frame pyramid the screen terms read
-                img = rq.render(cam_q, sun_angle=(35.0 + 0.001 * k, 80.0))
-            imgs[mode] = np.asarray(img)
+        qcfg = cfg if not small else cfg.replace()
+        settle = int(os.environ.get("BENCH_SSIM_SETTLE", "2" if small else "8"))
+        points = (0.3,) if small else (0.3, 0.7)
+        ssims = []
+        renderers = {
+            mode: Renderer(qcfg.replace(gi_mode=mode), scene,
+                           raster_backend=backend)
+            for mode in ("fast", "reference")
+        }
+        for t in points:
+            cam_q = make_camera(*suntemple.camera_path(t), qcfg)
+            imgs = {}
+            for mode, rq in renderers.items():
+                rq.state = None  # reset temporal state per camera point
+                img = None
+                for k in range(settle):  # settle the 3-axis GI sweep + TAA +
+                                         # the prev-frame pyramid
+                    img = rq.render(cam_q, sun_angle=(35.0 + 0.001 * k, 80.0))
+                imgs[mode] = np.asarray(img)
+            ssims.append(float(ssim(imgs["fast"], imgs["reference"])))
         out["gi_fast_ssim_vs_reference"] = round(
-            float(ssim(imgs["fast"], imgs["reference"])), 4
+            float(np.mean(ssims)), 4
+        )
+
+    if not small and os.environ.get("BENCH_REF_GI", "1") == "1":
+        # cost of the reference-parity GI mode at full bench scale (VERDICT
+        # r2 #3 asked for this alongside the fast number): same in-device
+        # scan methodology, fewer frames (it is several x slower)
+        rcfg = cfg.replace(gi_mode="reference")
+        rr = Renderer(rcfg, scene, raster_backend=backend)
+        rframes = 2
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def render_ref_n(state, cam_batch, sun, pre, lut, n):
+            def body(state, cam_leaves):
+                cam = CameraState(*cam_leaves)
+                state, img = render_frame(scene, state, cam, sun, pre, lut,
+                                          rcfg, backend)
+                return state, jnp.mean(img)
+            state, means = jax.lax.scan(body, state, tuple(cam_batch))
+            return state, means
+
+        rcam = CameraState(*[
+            jnp.stack([getattr(c, f) for c in cams[:rframes]])
+            for f in CameraState._fields
+        ])
+        rstate = init_frame_state(rcfg)
+        rstate, rmeans = render_ref_n(rstate, rcam, sun, rr.prefiltered_env,
+                                      rr.brdf_lut, rframes)
+        float(rmeans[-1])
+        t0 = time.perf_counter()
+        rstate, rmeans = render_ref_n(rstate, rcam, sun + 0.002,
+                                      rr.prefiltered_env, rr.brdf_lut, rframes)
+        float(rmeans[-1])
+        out["reference_gi_frame_ms"] = round(
+            (time.perf_counter() - t0) / rframes * 1000.0, 2
         )
 
     print(json.dumps(out))

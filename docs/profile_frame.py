@@ -123,6 +123,67 @@ def summarize(trace_dir, frames, top=40):
     return True
 
 
+def summarize_hlo(trace_dir, frames, top=60, type_filter=None):
+    """Per-HLO-instruction table with source lines (hlo_stats tool) — the
+    per-op table above merges every `jit(_take)/gather` in a pass into one
+    row; this splits them by instruction and maps each back to the Python
+    line that emitted it."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        print("NO xplane.pb found")
+        return False
+    path = max(paths, key=os.path.getmtime)
+    print(f"# parsing {path} (hlo_stats)", file=sys.stderr)
+    from xprof.convert import raw_to_tool_data as rtd
+    data, _ctype = rtd.xspace_to_tool_data([path], "hlo_stats", {})
+    tables = json.loads(data)
+    d = tables if isinstance(tables, dict) else tables[0]
+    cols = [c["id"] for c in d["cols"]]
+    rows = [[c.get("v") if isinstance(c, dict) else c for c in r["c"]]
+            for r in d["rows"]]
+
+    def col(*names):
+        for n in names:
+            if n in cols:
+                return cols.index(n)
+        return None
+
+    i_cat = col("hlo_category", "category")
+    i_expr = col("hlo_op_expression", "expression", "hlo_op_name")
+    i_self = col("total_self_time_in_us", "total_self_time", "self_time_us")
+    i_src = col("source_info", "source")
+    i_occ = col("occurrences")
+    rows = [r for r in rows if (r[i_self] or 0) > 0]
+    if type_filter:
+        rows = [r for r in rows if type_filter in str(r[i_cat] or "").lower()]
+    rows.sort(key=lambda r: -(r[i_self] or 0))
+    total = sum(r[i_self] or 0 for r in rows)
+    import re
+
+    def clean_src(s):
+        # the cell is HTML with a title= holding the full stack; keep the
+        # repo frames that aren't the profile/renderer boilerplate
+        frames_ = re.findall(r"/root/repo/([\w/.]+:\d+)", s)
+        keep = [f for f in frames_
+                if "profile_frame" not in f and "bench.py" not in f]
+        # drop the generic renderer.py dispatch frames unless nothing else
+        inner = [f for f in keep if "app/renderer" not in f]
+        return " <- ".join((inner or keep)[:3]) or "?"
+
+    print(f"\n== top HLO instructions by self time "
+          f"(total {total/1e3/frames:.1f} ms/frame"
+          f"{' [' + type_filter + ' only]' if type_filter else ''}) ==")
+    for r in rows[:top]:
+        t = (r[i_self] or 0) / 1e3 / frames
+        src = clean_src(str(r[i_src] or "?"))
+        expr = re.sub(r"\s+", " ", str(r[i_expr] or ""))[:130]
+        occ = r[i_occ] if i_occ is not None else "?"
+        print(f"{t:9.2f} ms x{occ:>4} [{r[i_cat]}] {src}")
+        print(f"           {expr}")
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--detail", type=float, default=4.5)
@@ -131,11 +192,18 @@ def main():
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--trace-dir", default="/tmp/jax_trace")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--hlo", action="store_true",
+                    help="per-HLO-instruction table with source lines")
+    ap.add_argument("--type", default=None,
+                    help="with --hlo: filter category substring (e.g. gather)")
     args = ap.parse_args()
     if not args.summarize_only:
         collect(args.detail, args.frames, args.width, args.height,
                 args.trace_dir)
-    summarize(args.trace_dir, args.frames)
+    if args.hlo:
+        summarize_hlo(args.trace_dir, args.frames, type_filter=args.type)
+    else:
+        summarize(args.trace_dir, args.frames)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "base": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_level=1),
+    # --- round-3 hi-z screen trace (gi_fast_screen_mode="hiz" default) ----
+    "v5": dict(),
+    "v5_i10": dict(gi_hiz_iters=10),
+    "v5_i20": dict(gi_hiz_iters=20),
+    "v5_th03": dict(gi_hiz_thickness=0.3),
+    "v5_th15": dict(gi_hiz_thickness=1.5),
+    "v5_thinf": dict(gi_hiz_thickness=1e9),   # one-sided, the reference rule
+    "v5_solid": dict(gi_hiz_solid=0.25),
+    "v5_b02": dict(gi_hiz_bias=0.02),
+    "v5_b10": dict(gi_hiz_bias=0.10),
+    "v5_b20": dict(gi_hiz_bias=0.20),
+    "v5_h8": dict(gi_fast_hit_steps=8, gi_fast_hit_steps_spec=8,
+                  gi_fast_hit_step_scale_spec=2.0),
+    "v5_l0": dict(gi_fast_probe_level=0),
+    "v5_d4": dict(gi_res_divisor_diffuse=4),
+    # --- round-3 march-structured path with k-point probes ----------------
+    "v4": dict(gi_fast_screen_mode="probes"),
+    "v4_noss": dict(gi_fast_screen_probe=False),
+    "v4_s3": dict(gi_fast_samples=3),
+    "v4_p1": dict(gi_fast_probe_points=1),
+    "v4_p5": dict(gi_fast_probe_points=5),
+    "v4_d4": dict(gi_res_divisor_diffuse=4),
+    "v4_h8": dict(gi_fast_hit_steps=8, gi_fast_hit_steps_spec=8,
+                  gi_fast_hit_step_scale_spec=2.0),
+    "v4_l0": dict(gi_fast_probe_level=0),
+    # --- round-2 quadrature path ------------------------------------------
+    "base": dict(gi_fast_march=False, gi_fast_spec_hit_steps=0,
+                 gi_fast_probe_level=1),
     "skip4": dict(gi_fast_skip_steps=4),
     "samples3": dict(gi_fast_samples=3),
     "skip4_samples3": dict(gi_fast_skip_steps=4, gi_fast_samples=3),
@@ -30,6 +57,19 @@ VARIANTS = {
     "dssi1": dict(gi_fast_spec_hit_steps=0, gi_diffuse_ss_intensity=1.0),
     "dh2_m0": dict(gi_fast_spec_hit_steps=2, gi_fast_diffuse_hit_steps=2,
                    gi_fast_probe_margin=0.0),
+    "probe3": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_points=3),
+    "probe3_l0": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_points=3,
+                      gi_fast_probe_level=0),
+    "probe4": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_points=4),
+    "probe3_s3": dict(gi_fast_spec_hit_steps=0, gi_fast_probe_points=3,
+                      gi_fast_samples=3),
+    # reference-path ablations (gi_mode stays "reference"): which term of the
+    # hybrid march carries the steady-state difference?
+    "ref_noss": dict(gi_mode="reference", gi_diffuse_ss_intensity=0.0,
+                     gi_specular_ss_intensity=0.0),
+    "ref_nofog": dict(gi_mode="reference", gi_diffuse_steps=1,
+                      gi_specular_steps=1),
+    "ref_nost": dict(gi_mode="reference", gi_screen_trace_steps=1),
 }
 
 
@@ -74,8 +114,9 @@ def main():
         print(f"# reference frame t={t} done", file=sys.stderr)
 
     for name in args.variants.split(","):
-        kw = VARIANTS[name]
-        vcfg = cfg.replace(gi_mode="fast", **kw)
+        kw = dict(VARIANTS[name])
+        kw.setdefault("gi_mode", "fast")
+        vcfg = cfg.replace(**kw)
         ssims = []
         for t in points:
             img = settled(vcfg, t)
@@ -89,8 +130,57 @@ def main():
                 image.write_png(f"/tmp/gi_fast_{name}_t{t}.png", img)
                 if name == args.variants.split(",")[0]:
                     image.write_png(f"/tmp/gi_ref_t{t}.png", refs[t])
-        print(f"{name:20s} ssim={['%.4f' % s for s in ssims]} "
-              f"mean={np.mean(ssims):.4f}")
+        line = (f"{name:20s} ssim={['%.4f' % s for s in ssims]} "
+                f"mean={np.mean(ssims):.4f}")
+        if args.time:
+            line += f" frame_ms={_time_variant(vcfg, scene, points[0]):.1f}"
+        print(line)
+
+
+def _time_variant(vcfg, scene, t, frames=6, reps=2):
+    """Frame-ms for a config: in-device lax.scan over `frames` frames (the
+    tunnel memoizes byte-identical calls and adds ~25 ms/call — bench.py
+    methodology), sun nudged per rep."""
+    import functools
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vulkan_pbr_renderer_tpu.app.renderer import (
+        CameraState, Renderer, init_frame_state, make_camera, render_frame,
+    )
+    from vulkan_pbr_renderer_tpu.assets import suntemple
+
+    r = Renderer(vcfg, scene, raster_backend="pallas")
+    cams = [make_camera(*suntemple.camera_path(t + 0.02 * i), vcfg)
+            for i in range(frames)]
+    cam_batch = CameraState(*[
+        jnp.stack([getattr(c, f) for c in cams]) for f in CameraState._fields
+    ])
+    sun = jnp.asarray([35.0, 80.0], jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def render_n(state, cam_batch, sun, pre, lut, n):
+        def body(state, cam_leaves):
+            cam = CameraState(*cam_leaves)
+            state, img = render_frame(scene, state, cam, sun, pre, lut, vcfg,
+                                      "pallas")
+            return state, jnp.mean(img)
+        state, means = jax.lax.scan(body, state, tuple(cam_batch))
+        return state, means
+
+    state = init_frame_state(vcfg)
+    state, means = render_n(state, cam_batch, sun, r.prefiltered_env,
+                            r.brdf_lut, frames)
+    float(means[-1])
+    t0 = _time.perf_counter()
+    for k in range(reps):
+        state, means = render_n(state, cam_batch, sun + 0.001 * (k + 1),
+                                r.prefiltered_env, r.brdf_lut, frames)
+        float(means[-1])
+    return (_time.perf_counter() - t0) / (reps * frames) * 1000.0
 
 
 if __name__ == "__main__":

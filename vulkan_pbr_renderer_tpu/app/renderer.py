@@ -96,7 +96,7 @@ def init_frame_state(cfg: RenderConfig) -> FrameState:
         sun_depth=jnp.ones((cfg.shadow_map_size,) * 2, jnp.float32),
         taa_history=jnp.zeros((h, w, 3), jnp.float32),
         velocity_prev=jnp.zeros((h, w, 2), jnp.float32),
-        prev_pyramid=jnp.zeros((ph, pwa, 3), jnp.float32),
+        prev_pyramid=jnp.zeros((ph, pwa, 3), jnp.bfloat16),
         clip_from_world_prev=jnp.eye(4, dtype=jnp.float32),
         sun_angle_prev=jnp.full((2,), jnp.inf, jnp.float32),
         frame_idx=jnp.int32(0),
@@ -230,7 +230,11 @@ def post_stack(hdr, depth, velocity, state: FrameState, cfg):
             bloom_out, downs = bloom_mod.bloom_with_pyramid(
                 taa_out, cfg.bloom_pass_count, cfg.bloom_strength
             )
-            pyramid = sampling.pack_mip_atlas(downs)
+            # bf16 STORAGE (the reference's RGBA16F RTs, render.cpp:693-697):
+            # halves the prev-frame atlas the GI screen terms gather from
+            # next frame; the chain arithmetic itself stays f32 for the
+            # sharded exactness contract (bloom.py rationale)
+            pyramid = sampling.pack_mip_atlas(downs).astype(jnp.bfloat16)
     else:
         bloom_out = taa_out
         pyramid = state.prev_pyramid
@@ -282,11 +286,11 @@ def render_frame(
         revox = sun_changed
 
         def do_voxelize(grid):
-            return gi.voxelize_scene(
+            return gi.decode_voxel_grid(gi.voxelize_scene(
                 scene, cfg.lightgrid_size, cfg.lightgrid_scale, sun_depth,
                 sun_from_world, sun_dir,
                 cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
-            )
+            ))
 
         with jax.named_scope("p2_voxelize"):
             lightgrid = jax.lax.cond(revox, do_voxelize, lambda g: g, state.lightgrid)
@@ -307,6 +311,7 @@ def render_frame(
         gbuf = gb.gbuffer_pass(
             scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
             cam.clip_from_world, old_clip_from_world, cfg.alpha_test_threshold,
+            world_from_clip=cam.world_from_clip, jitter=jitter,
         )
 
     # ---- pass 5: lighting ------------------------------------------------

@@ -58,6 +58,11 @@ class RenderConfig:
     # reduced resolution and bilinearly upsampling cuts the dominant cost by
     # the square of the factor.  1 = reference-exact full resolution.
     gi_res_divisor: int = 2
+    gi_res_divisor_diffuse: int = 0        # 0 = same as gi_res_divisor; 4 =
+                                           # quarter-res diffuse ray only
+                                           # (diffuse GI is low-frequency and
+                                           # TAA-integrated; specular keeps
+                                           # gi_res_divisor for reflections)
     shaft_res_divisor: int = 4
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
@@ -80,6 +85,39 @@ class RenderConfig:
     gi_fast_diffuse_hit_steps: int = 0     # same for the diffuse bent ray
     gi_fast_probe_level: int = 1           # prev-frame pyramid level for the
                                            # probe (0 = half res, sharper)
+    gi_fast_probe_points: int = 3          # >1: also depth-test the interior
+                                           # of the surface->first-open
+                                           # segment (gi.screen_probe_multi) —
+                                           # catches rays dipping behind
+                                           # geometry mid-path (lamp halos)
+    # round-3 march-structured fast GI (gi.sample_radiance_march): reproduces
+    # the reference march's termination + fog-average structure on the cheap
+    # alpha rows (the round-2 quadrature plateaued at SSIM 0.87, below even
+    # whole-term reference ablations — docs/tune_gi)
+    gi_fast_march: bool = True
+    # screen term of the march path: "hiz" = hierarchical-z trace of the
+    # [surface, first-open] segment (gi.hiz_trace — the TPU shape of the
+    # reference's 24-step linear trace, ~1 gather/iteration); "probes" =
+    # k-point depth probes (round-3 interim, cheaper, misses mid-field)
+    gi_fast_screen_mode: str = "hiz"
+    gi_hiz_iters: int = 14                 # fixed traversal budget
+    gi_hiz_levels: int = 6                 # pyramid depth (cell up to 32 px)
+    gi_hiz_thickness: float = 0.75         # two-sided hit window, VIEW-space
+                                           # world units (ref: one-sided ->
+                                           # infinity; finite rejects rays
+                                           # passing far behind thin geo)
+    gi_hiz_bias: float = 0.05              # view-space behind-ness required
+                                           # before a crossing counts (self-
+                                           # hit guard, gi.hiz_trace)
+    gi_hiz_solid: float = 0.0              # >0: reject hits whose lightgrid
+                                           # alpha at the hit is below this
+                                           # (glsl:348-356); 0 = off (see
+                                           # gi.screen_trace_hiz rationale)
+    gi_fast_hit_steps: int = 6             # diffuse: alpha steps to the stop
+    gi_fast_hit_step_scale: float = 1.0    # x voxel; 6x1 matches the ref's
+                                           # 12 steps x 0.5 voxel coverage
+    gi_fast_hit_steps_spec: int = 6        # specular ray
+    gi_fast_hit_step_scale_spec: float = 2.5  # (ref: 16 steps x 1.0 eff.)
 
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001

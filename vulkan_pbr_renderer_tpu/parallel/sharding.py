@@ -188,7 +188,9 @@ def _post_stack_sharded(hdr_full, depth_full, vel_full, state, cfg, y0, rows):
                     0, dx,
                 )
         bloom_rows = taa_rows + tent * (cfg.bloom_strength / 16.0)
-        pyramid = sampling.pack_mip_atlas(downs)
+        # bf16 storage matching the single-chip path (renderer.py): the
+        # f32 level values are identical between paths, so the rounding is too
+        pyramid = sampling.pack_mip_atlas(downs).astype(jnp.bfloat16)
 
     final_rows = colorlib.gamma_encode(
         colorlib.aces_approx(cfg.exposure * bloom_rows)
@@ -210,7 +212,8 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
     sp = mesh.shape["sp"]
     # reduced-res GI/shaft upsampling would clamp at shard edges and seam;
     # with the work already spread over chips, run those passes at full res
-    cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1)
+    cfg = cfg.replace(gi_res_divisor=1, gi_res_divisor_diffuse=1,
+                      shaft_res_divisor=1)
     h, w = cfg.height, cfg.width
     if raster_backend == "pallas":
         assert h % (sp * 32) == 0, "height must be divisible by sp*tile_h"
@@ -266,10 +269,13 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
 
             part = jax.lax.cond(
                 fi.sun_changed, do_voxelize,
-                lambda _: jnp.zeros((cfg.lightgrid_size,) * 3 + (4,), jnp.float32),
+                lambda _: jnp.zeros((cfg.lightgrid_size,) * 3, jnp.uint32),
                 None,
             )
-            full = jax.lax.pmax(part, "sp")
+            # combine the PACKED partials: u32 max is associative/total on the
+            # packed order, so pmax-then-decode == single-chip scatter-max
+            # regardless of shard count (the exactness contract)
+            full = gi.decode_voxel_grid(jax.lax.pmax(part, "sp"))
             lightgrid = jnp.where(fi.sun_changed, full, state.lightgrid)
             # ---- pass 3: sweep (replicated math), axis rotates per frame -
             lightgrid = rmod.sweep_rotated(lightgrid, frame_idx, cfg)
@@ -285,6 +291,8 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
             scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
             cam.clip_from_world, fi.old_clip_from_world,
             cfg.alpha_test_threshold, row_offset=y0,
+            world_from_clip=cam.world_from_clip, jitter=fi.jitter,
+            full_size=(h, w),
         )
         depth_full = jax.lax.all_gather(gbuf.depth, "sp", axis=0, tiled=True)
 

@@ -129,10 +129,17 @@ def bloom_with_pyramid(hdr, passes=6, strength=0.06):
     h, w = hdr.shape[:2]
     sizes = [(max(1, h >> i), max(1, w >> i)) for i in range(passes + 1)]
     downs = []
+    # chain arithmetic stays f32: a bf16 chain was measured to break the
+    # sharded-vs-single-chip exactness contract (different op order amplifies
+    # f32 reassociation noise ~2e-4 to bf16-ulp ~1e-3, tests/test_parallel).
+    # The capacity/bandwidth win lives in the STORED prev-frame atlas instead
+    # (renderer.py packs it bf16 — the reference's RGBA16F RTs,
+    # render.cpp:693-697).
     cur = hdr
     for i in range(1, passes + 1):
         cur = downsample_13tap(cur, *sizes[i], firefly_clamp=(i == 1))
         downs.append(cur)
     for i in range(passes - 1, 0, -1):
         cur = upsample_tent9(cur, *sizes[i], factor=1.0)
-    return hdr + upsample_tent9(cur, *sizes[0], factor=strength), downs
+    tent = upsample_tent9(cur, *sizes[0], factor=strength)
+    return hdr + tent.astype(hdr.dtype), downs

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..gpu import sampling
@@ -33,19 +34,48 @@ class GBuffer(NamedTuple):
     coverage: jnp.ndarray     # [H,W] bool
 
 
-def pack_raster_row(setup: TriSetup, scene):
-    """Per-frame [T,16] f32 row: adj (9, row-major), c_w (3), mat id, alpha
-    flag, pad — so the G-buffer's per-pixel triangle fetch is exactly TWO
-    gather rows (this 64-byte one + the static 96-byte scene.tri_attr) instead
-    of round 1's six (meta + 3 verts + adj + c_w)."""
-    n = setup.adj.shape[0]
+def _f32_to_u16(x):
+    n = x.shape[0]
+    return jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(n, -1)
+
+
+def pack_gbuffer_static(scene):
+    """Static u16[T,24] half-row: uv0..2 (6 f32 bitcast -> 12 u16 — uv must
+    stay exact because its *derivatives* feed mip selection and TBN), nrm0..2
+    (9 f16 — renormalized after interpolation, f16 is plenty), mat id + alpha
+    flag (f16), pad.  Loop-invariant: XLA hoists it out of frame scans."""
+    n = scene.tri_attr.shape[0]
+    uv16 = _f32_to_u16(scene.tri_attr[:, 18:24])
+    f16part = jnp.concatenate(
+        [
+            scene.tri_attr[:, 9:18].astype(jnp.float16),
+            scene.mat_id.astype(jnp.float16)[:, None],
+            scene.tri_alpha.astype(jnp.float16)[:, None],
+            jnp.zeros((n, 1), jnp.float16),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate(
+        [uv16, jax.lax.bitcast_convert_type(f16part, jnp.uint16)], axis=1
+    )
+
+
+def pack_gbuffer_row(setup: TriSetup, scene):
+    """Per-triangle u16[T,48] row (96 B): adj (9 f32 bitcast), z_vert (3 f32
+    bitcast) + the static half (pack_gbuffer_static).
+
+    ONE gather row per pixel — round 3's merge of the two round-2 streams
+    (64 B per-frame raster row + 96 B f32 tri_attr = 160 B across two gathers,
+    16.6 + 12.9 ms/frame in the wave-8 hlo_stats).  c_w is NOT stored: it is
+    adj @ ones (raster/setup.py), two VPU adds per pixel.  World position and
+    its screen derivatives are not fetched either — they are reconstructed
+    from the rasterizer's hi-precision depth by unprojection (gbuffer_pass),
+    which z_vert's depth-gradient coefficients make exact."""
     return jnp.concatenate(
         [
-            setup.adj.reshape(n, 9),
-            setup.c_w,
-            scene.mat_id.astype(jnp.float32)[:, None],
-            scene.tri_alpha[:, None],
-            jnp.zeros((n, 2), jnp.float32),
+            _f32_to_u16(setup.adj.reshape(-1, 9)),
+            _f32_to_u16(setup.z_vert),
+            pack_gbuffer_static(scene),
         ],
         axis=1,
     )
@@ -98,45 +128,104 @@ def gbuffer_pass(
     old_clip_from_world,
     alpha_threshold=0.3,
     row_offset=0,
+    world_from_clip=None,
+    jitter=None,
+    full_size=None,
 ):
     """Assemble the G-buffer.  All inputs are device arrays; fully jit-safe.
 
     scene: assets.scene.Scene; depth/tri_id: [H,W] from the rasterizer
-    (rows starting at global pixel row `row_offset` for the sharded path).
+    (rows starting at global pixel row `row_offset` for the sharded path;
+    full_size=(H_full, W) then gives the full framebuffer extent the pixel->
+    ndc mapping is relative to).  world_from_clip: inverse of the UNJITTERED
+    clip_from_world (computed here if absent); jitter: the TAA ndc jitter the
+    rasterizer applied (the unprojection removes it).
     """
     h, w = depth.shape
+    fh = full_size[0] if full_size is not None else h
+    fw = full_size[1] if full_size is not None else w
     covered = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
+    if world_from_clip is None:
+        world_from_clip = jnp.linalg.inv(clip_from_world)
 
     px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
     py = jnp.broadcast_to(
         jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset, (h, w)
     )
 
-    # TWO gather rows per pixel: the per-frame raster row (adj, c_w, mat,
-    # alpha) and the static triangle attribute row (3 verts' pos/nrm/uv)
-    row_a = pack_raster_row(setup, scene)[tid]     # [H,W,16]
-    adj = row_a[..., 0:9].reshape(row_a.shape[:-1] + (3, 3))
-    cw = row_a[..., 9:12]
-    mat = row_a[..., 12].astype(jnp.int32)
-    do_test = row_a[..., 13] > 0.5
+    # ONE gather row per pixel (pack_gbuffer_row)
+    row = pack_gbuffer_row(setup, scene)[tid]      # [H,W,48] u16
+    sh = row.shape[:-1]
+    adj = jax.lax.bitcast_convert_type(
+        row[..., 0:18].reshape(sh + (9, 2)), jnp.float32
+    ).reshape(sh + (3, 3))
+    z_vert = jax.lax.bitcast_convert_type(
+        row[..., 18:24].reshape(sh + (3, 2)), jnp.float32
+    )
+    uv_tri = jax.lax.bitcast_convert_type(
+        row[..., 24:36].reshape(sh + (6, 2)), jnp.float32
+    ).reshape(sh + (3, 2))
+    f16part = jax.lax.bitcast_convert_type(row[..., 36:47], jnp.float16)
+    nrm_tri = f16part[..., 0:9].astype(jnp.float32).reshape(sh + (3, 3))
+    mat = f16part[..., 9].astype(jnp.int32)
+    do_test = f16part[..., 10].astype(jnp.float32) > 0.5
+    cw = jnp.sum(adj, axis=-1)                     # = setup.c_w (adj @ ones)
 
     lam, dlam_dx, dlam_dy = _lambda_and_derivs(adj, cw, px, py)
 
-    attr = scene.tri_attr[tid]                     # [H,W,24]
-    pos_tri = attr[..., 0:9].reshape(attr.shape[:-1] + (3, 3))
-    nrm_tri = attr[..., 9:18].reshape(attr.shape[:-1] + (3, 3))
-    uv_tri = attr[..., 18:24].reshape(attr.shape[:-1] + (3, 2))
-
-    world_pos = _interp(pos_tri, lam)
     normal_geo = _interp(nrm_tri, lam)
     normal_geo = m3.normalize(normal_geo)
     uv = _interp(uv_tri, lam)
 
     duv_dx = _interp(uv_tri, dlam_dx)              # exact d(uv)/d(pixel x)
     duv_dy = _interp(uv_tri, dlam_dy)
-    dpos_dx = _interp(pos_tri, dlam_dx)
-    dpos_dy = _interp(pos_tri, dlam_dy)
+
+    # --- world position + derivatives by unprojecting depth ---------------
+    # The pixel's unjittered ndc is exact; depth is the rasterizer's
+    # hi-precision vertex-interpolated z (raster/setup.py TriSetup) — the
+    # unprojected point is the intersection of the pixel ray with the
+    # triangle, i.e. the same point the removed 9-column pos_tri fetch
+    # interpolated, to depth precision.
+    jx = jnp.float32(0.0) if jitter is None else jitter[0]
+    jy = jnp.float32(0.0) if jitter is None else jitter[1]
+    ndc_x = (px + 0.5) * (2.0 / fw) - 1.0 - jx
+    ndc_y = (py + 0.5) * (2.0 / fh) - 1.0 - jy
+    # explicit FMA broadcasts — a [H,W,3]@[3,4] dot_general pads onto the MXU
+    # at `highest` f32 (see _interp docstring)
+    q = (
+        world_from_clip[:, 0] * ndc_x[..., None]
+        + world_from_clip[:, 1] * ndc_y[..., None]
+        + world_from_clip[:, 2] * depth[..., None]
+        + world_from_clip[:, 3]
+    )
+    qw = jnp.where(jnp.abs(q[..., 3:4]) < 1e-20, 1e-20, q[..., 3:4])
+    world_pos = q[..., :3] / qw
+
+    # d(z_ndc)/d(pixel): z = z0 + (e1*dz1 + e2*dz2)/S with S = cw . p
+    # (the rasterizer's z formula) => quotient rule with the adj x/y coeffs.
+    p3 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], -1)
+    e = jnp.einsum("...ij,...i->...j", adj, p3)
+    s_den = jnp.einsum("...i,...i->...", cw, p3)
+    s_den = jnp.where(jnp.abs(s_den) < 1e-20, 1e-20, s_den)
+    num = e[..., 1] * z_vert[..., 1] + e[..., 2] * z_vert[..., 2]
+    dnum_dx = adj[..., 0, 1] * z_vert[..., 1] + adj[..., 0, 2] * z_vert[..., 2]
+    dnum_dy = adj[..., 1, 1] * z_vert[..., 1] + adj[..., 1, 2] * z_vert[..., 2]
+    dz_dx = (dnum_dx - (num / s_den) * cw[..., 0]) / s_den
+    dz_dy = (dnum_dy - (num / s_den) * cw[..., 1]) / s_den
+
+    # d(world)/d(pixel) = d/dx of the projective unproject: with
+    # q = M @ (ndc,1), U = q_xyz/q_w and d(ndc)/dx = (2/W, 0, dz/dx):
+    def dworld(dndc_x, dndc_y, dndc_z):
+        dq = (
+            world_from_clip[:, 0] * dndc_x[..., None]
+            + world_from_clip[:, 1] * dndc_y[..., None]
+            + world_from_clip[:, 2] * dndc_z[..., None]
+        )
+        return (dq[..., :3] - world_pos * dq[..., 3:4]) / qw
+
+    dpos_dx = dworld(jnp.full_like(px, 2.0 / fw), jnp.zeros_like(px), dz_dx)
+    dpos_dy = dworld(jnp.zeros_like(px), jnp.full_like(px, 2.0 / fh), dz_dy)
 
     # mip level from uv footprint in texels (standard GL lod rule)
     ts = scene.tex_packed.shape[1]

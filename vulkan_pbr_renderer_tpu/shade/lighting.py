@@ -252,7 +252,9 @@ def lighting_pass(
     # --- split-sum weights (glsl:681) -------------------------------------
     f0 = brdf.f0_from_metallic(base_color, metallic, cfg.f0_dielectric)
     lut_uv = jnp.stack([v_dot_n, jnp.maximum(roughness, 0.05)], -1)
-    wlut = sampling.window_pack(res.brdf_lut, 2, 2)
+    # f16 window rows: the LUT holds [0,1] split-sum weights; halves the
+    # 2M-row full-res fetch's bytes (3.75 ms/frame f32 in the wave-8 profile)
+    wlut = sampling.window_pack(res.brdf_lut, 2, 2, dtype=jnp.float16)
     scale_bias = sampling.sample_bilinear_window(
         wlut, res.brdf_lut.shape[0], res.brdf_lut.shape[1], lut_uv, 2
     )
@@ -289,7 +291,14 @@ def lighting_pass(
             prev_lvl = res.prev_frame_atlas[:plh, offs[lv]:offs[lv] + plw]
             wprev = sampling.window_pack(prev_lvl, 2, 2, dtype=jnp.float16)
 
-            def probe(ro_open, ss_intensity):
+            def probe(ro_open, ss_intensity, ro0=None):
+                if cfg.gi_fast_probe_points > 1 and ro0 is not None:
+                    return gi.screen_probe_multi(
+                        ro0, ro_open, cfg.lightgrid_scale,
+                        glob.clip_from_world, trace_depth, wprev, (plh, plw),
+                        ss_intensity, z_margin=cfg.gi_fast_probe_margin,
+                        k_points=cfg.gi_fast_probe_points,
+                    )
                 return gi.screen_probe(
                     ro_open, cfg.lightgrid_scale, glob.clip_from_world,
                     trace_depth, wprev, (plh, plw), ss_intensity,
@@ -298,7 +307,65 @@ def lighting_pass(
         else:
             probe = None
         voxel_step = 2.0 / cfg.lightgrid_size
-        if cfg.gi_mode == "fast":
+        ro0_grid = pwd * cfg.lightgrid_scale
+        if cfg.gi_mode == "fast" and cfg.gi_fast_march:
+            # march-structured path (gi.sample_radiance_march): noise-dithered
+            # alpha march + EMA rgb reconstruction, and the screen term as
+            # INTERIOR probes of the [surface, first-open] segment — the only
+            # region the reference's screen trace covers (its dist_to_travel
+            # is |to_open|, gi.py sample_radiance_with_screen_trace phase B)
+            depth_half = trace_depth[::2, ::2]
+            if cfg.gi_fast_screen_probe and cfg.gi_fast_screen_mode == "hiz":
+                # one min-depth pyramid shared by the diffuse + specular
+                # traces (and, sharded, identical on every shard — built from
+                # the gathered full depth, so parity is trivially exact)
+                hiz, hiz_offs = gi.build_hiz_atlas(depth_half,
+                                                   cfg.gi_hiz_levels)
+
+            def march_resolve(pw, rd_unit, hit_steps, step_scale,
+                              ss_intensity, noise):
+                rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_march(
+                    wgrid, walpha, pw, rd_unit, cfg.lightgrid_scale,
+                    skip_steps=cfg.gi_fast_skip_steps,
+                    open_thresh=cfg.gi_fast_open_thresh,
+                    hit_steps=hit_steps, step_scale=step_scale,
+                    noise=noise, rgb_samples=cfg.gi_fast_samples,
+                )
+                if cfg.gi_fast_screen_probe:
+                    if cfg.gi_fast_screen_mode == "hiz":
+                        res_m, ss_rgb = gi.screen_trace_hiz(
+                            pw * cfg.lightgrid_scale, ro_open,
+                            cfg.lightgrid_scale, glob.clip_from_world,
+                            hiz, hiz_offs, depth_half.shape, wprev,
+                            (plh, plw), ss_intensity, alpha_grid=walpha,
+                            iters=cfg.gi_hiz_iters,
+                            thickness=cfg.gi_hiz_thickness,
+                            z_bias=cfg.gi_hiz_bias,
+                            solid_thresh=cfg.gi_hiz_solid,
+                            zview_nf=(cfg.z_near, cfg.z_far),
+                        )
+                    else:
+                        res_m, ss_rgb = gi.screen_probe_multi(
+                            pw * cfg.lightgrid_scale, ro_open,
+                            cfg.lightgrid_scale, glob.clip_from_world,
+                            depth_half, wprev, (plh, plw), ss_intensity,
+                            z_margin=cfg.gi_fast_probe_margin,
+                            k_points=cfg.gi_fast_probe_points,
+                        )
+                    rgb = jnp.where(res_m[..., None], ss_rgb, rgb)
+                return rgb
+
+            kdif = cfg.gi_res_divisor_diffuse or kg
+            if kdif != kg:
+                nd_d, _, pwd_d, _, (n1dd, _, n3dd) = sub_inputs(kdif)
+                bent_d = bent_normal_cosine(nd_d, n1dd, n3dd)
+            else:
+                pwd_d, bent_d, n3dd = pwd, bent, n3d
+            ambient = march_resolve(
+                pwd_d, bent_d, cfg.gi_fast_hit_steps,
+                cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity, n3dd,
+            )
+        elif cfg.gi_mode == "fast":
             ambient, ro_open = gi.sample_radiance_fast(
                 wgrid, pwd, bent, cfg.lightgrid_scale, **fast_kw
             )
@@ -311,7 +378,8 @@ def lighting_pass(
                     )
                 else:
                     ro_p, hit_m = ro_open, True
-                hit, ss_rgb = probe(ro_p, cfg.gi_diffuse_ss_intensity)
+                hit, ss_rgb = probe(ro_p, cfg.gi_diffuse_ss_intensity,
+                                    ro0=ro0_grid)
                 hit = hit & hit_m
                 ambient = jnp.where(hit[..., None], ss_rgb, ambient)
         else:
@@ -339,7 +407,13 @@ def lighting_pass(
         r2 = roughd * roughd
         r = r + (nd - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
         spec_fog = roughd if cfg.gi_specular_foggyness_is_roughness else 0.9
-        if cfg.gi_mode == "fast":
+        if cfg.gi_mode == "fast" and cfg.gi_fast_march:
+            spec = march_resolve(
+                pwd, r, cfg.gi_fast_hit_steps_spec,
+                cfg.gi_fast_hit_step_scale_spec, cfg.gi_specular_ss_intensity,
+                n3d,
+            )
+        elif cfg.gi_mode == "fast":
             spec, ro_open_s = gi.sample_radiance_fast(
                 wgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0, **fast_kw
             )
@@ -352,7 +426,8 @@ def lighting_pass(
                     )
                 else:
                     ro_ps, hit_ms = ro_open_s, True
-                hit_s, ss_rgb_s = probe(ro_ps, cfg.gi_specular_ss_intensity)
+                hit_s, ss_rgb_s = probe(ro_ps, cfg.gi_specular_ss_intensity,
+                                        ro0=ro0_grid)
                 hit_s = hit_s & hit_ms
                 spec = jnp.where(hit_s[..., None], ss_rgb_s, spec)
         else:
