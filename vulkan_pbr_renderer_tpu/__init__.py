@@ -17,7 +17,6 @@ Layer map (mirrors SURVEY.md §1, reference file pointers in the docstrings):
   assets/    L4  — glTF/FBX/DDS/HDR/TGA loaders + procedural scenes (replaces asset_import.cpp)
   app/       L4  — renderer orchestration, camera, headless CLI (replaces main.cpp/render.cpp)
   parallel/  —   multi-chip sharding of the frame (new capability; reference is single-GPU)
-  ops/       —   Pallas kernel re-exports
 """
 
 __version__ = "0.1.0"

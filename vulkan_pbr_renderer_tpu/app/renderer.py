@@ -398,7 +398,13 @@ class Renderer:
         self.state = init_frame_state(cfg)
 
     def render(self, cam: CameraState, sun_angle=(50.0, 30.0)):
-        """Render one frame; updates temporal state. Returns [H,W,3] float."""
+        """Render one frame; updates temporal state. Returns [H,W,3] float.
+
+        Setting `renderer.state = None` resets the temporal state (TAA
+        history, lightgrid, cached sun map) before the next frame — the
+        per-camera-point reset the bench's SSIM section relies on."""
+        if self.state is None:
+            self.state = init_frame_state(self.cfg)
         self.state, img = render_frame(
             self.scene, self.state, cam, jnp.asarray(sun_angle, jnp.float32),
             self.prefiltered_env, self.brdf_lut, self.cfg, self.raster_backend,
