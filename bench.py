@@ -60,6 +60,7 @@ def main():
     from vulkan_pbr_renderer_tpu.app.renderer import Renderer
 
     r = Renderer(cfg, scene, raster_backend=backend)
+    cfg = r.cfg  # pick up the auto-sized voxelize stream
 
     cams = [make_camera(*suntemple.camera_path(i / max(frames - 1, 1)), cfg)
             for i in range(frames)]

@@ -290,6 +290,7 @@ def render_frame(
                 scene, cfg.lightgrid_size, cfg.lightgrid_scale, sun_depth,
                 sun_from_world, sun_dir,
                 cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
+                total_samples=cfg.voxelize_samples or (1 << 20),
             ))
 
         with jax.named_scope("p2_voxelize"):
@@ -356,6 +357,11 @@ class Renderer:
 
     def __init__(self, cfg: RenderConfig, scene, env_faces=None, use_cache=True,
                  raster_backend="auto"):
+        if cfg.enable_gi and cfg.voxelize_samples == 0:
+            # right-size the static voxelize sample stream for this scene
+            # (bit-identical results for any capacity >= the true count)
+            cfg = cfg.replace(voxelize_samples=gi.voxelize_sample_capacity(
+                scene, cfg.lightgrid_size, cfg.lightgrid_scale))
         self.cfg = cfg
         self.scene = scene
         if raster_backend == "auto":

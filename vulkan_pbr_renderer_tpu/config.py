@@ -118,6 +118,11 @@ class RenderConfig:
                                            # 12 steps x 0.5 voxel coverage
     gi_fast_hit_steps_spec: int = 6        # specular ray
     gi_fast_hit_step_scale_spec: float = 2.5  # (ref: 16 steps x 1.0 eff.)
+    voxelize_samples: int = 0              # static voxelize sample-stream
+                                           # capacity; 0 = 1<<20 (the
+                                           # historical default) — Renderer
+                                           # init auto-sizes it exactly via
+                                           # gi.voxelize_sample_capacity
 
     # --- light shafts (lighting_pass.glsl:622-651) ------------------------
     light_shaft_intensity: float = 0.001

@@ -264,6 +264,7 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
                     scene, cfg.lightgrid_size, cfg.lightgrid_scale, sun_depth,
                     fi.sun_from_world, fi.sun_dir,
                     cfg.voxelize_sun_emission_scale * jnp.asarray(cfg.sun_color),
+                    total_samples=cfg.voxelize_samples or (1 << 20),
                     shard_idx=sp_idx, shard_count=sp,
                 )
 

@@ -84,6 +84,33 @@ def sweep_lightgrid(grid, axis, skylight=(1.0, 1.2, 2.0), move_ratio=0.5, blend=
 # 1. Voxelization by surface point sampling
 
 
+def voxelize_sample_capacity(scene, grid_size, lightgrid_scale,
+                             samples_per_voxel_area=4.0, cap=1 << 20,
+                             align=1024):
+    """Host-side (numpy) exact sizing of voxelize_scene's sample stream.
+
+    The stream capacity is a STATIC shape; the historical fixed 1<<20 meant
+    every tiny test scene paid a 1M-lane gather/scatter voxelize (and its
+    compile-time constant folding).  The true sample count is a pure function
+    of the static scene + grid config, so compute it once at Renderer init
+    and right-size the stream.  Returns a multiple of `align` (the sharded
+    path needs total_samples % shard_count == 0), capped at `cap` (the
+    historical limit, so bench-scale behavior is unchanged).  Any capacity
+    >= the true total yields BIT-IDENTICAL samples — positions depend only on
+    each sample's index within its triangle's run."""
+    import numpy as np
+
+    ta = np.asarray(scene.tri_attr[:, :9], np.float32)
+    p0, p1, p2 = ta[:, 0:3], ta[:, 3:6], ta[:, 6:9]
+    n = np.cross(p1 - p0, p2 - p0)
+    area = 0.5 * np.linalg.norm(n, axis=-1)
+    voxel_size = 2.0 / (grid_size * lightgrid_scale)
+    counts = np.ceil(area / (voxel_size * voxel_size)
+                     * samples_per_voxel_area).astype(np.int64)
+    total = int(np.clip(counts, 1, cap).sum())
+    return int(min(-(-total // align) * align, cap))
+
+
 def voxelize_scene(
     scene,
     grid_size,
