@@ -88,9 +88,15 @@ def main():
 
     bench("setup+binning tile=32",
           functools.partial(bin_only, tile=32), tri_pos)
+    bench("setup+binning tile=16",
+          functools.partial(bin_only, tile=16), tri_pos)
     for pcap in (2, 6):
         bench(f"full raster tile=32 pcap={pcap}",
               functools.partial(full, tile=32, pcap=pcap), tri_pos)
+    # tile=16: quarters the folded plane a tiny triangle pays for (~3x less
+    # pixel-eval work at SunTemple's triangle sizes) at ~1.5x the pair count
+    bench("full raster tile=16 pcap=3",
+          functools.partial(full, tile=16, pcap=3), tri_pos)
 
     # real pair count at this view for capacity pricing
     s = jax.jit(do_setup)(jnp.float32(0.0), tri_pos)
