@@ -95,11 +95,15 @@ class RenderConfig:
     # alpha rows (the round-2 quadrature plateaued at SSIM 0.87, below even
     # whole-term reference ablations — docs/tune_gi)
     gi_fast_march: bool = True
-    # screen term of the march path: "hiz" = hierarchical-z trace of the
-    # [surface, first-open] segment (gi.hiz_trace — the TPU shape of the
-    # reference's 24-step linear trace, ~1 gather/iteration); "probes" =
-    # k-point depth probes (round-3 interim, cheaper, misses mid-field)
-    gi_fast_screen_mode: str = "hiz"
+    # screen term of the march path: "probes" = k-point depth probes of the
+    # [surface, first-open] segment; "hiz" = hierarchical-z trace of the same
+    # segment (gi.hiz_trace — the TPU shape of the reference's 24-step linear
+    # trace).  Default probes: measured on TPU at 960x544 default config,
+    # hiz scores SSIM 0.9297 vs probes 0.9245 against the reference march —
+    # +0.005 SSIM for ~148 ms/frame at bench scale (the 14-iteration
+    # fori_loop gathers at the rate ceiling; hlo_stats r3 wave 9).  hiz
+    # remains available for offline/quality renders.
+    gi_fast_screen_mode: str = "probes"
     gi_hiz_iters: int = 14                 # fixed traversal budget
     gi_hiz_levels: int = 6                 # pyramid depth (cell up to 32 px)
     gi_hiz_thickness: float = 0.75         # two-sided hit window, VIEW-space
