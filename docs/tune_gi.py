@@ -15,6 +15,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
+    # --- round-3 fog march on the 8-byte nearest f16 grid -----------------
+    "fog": dict(gi_fast_fog_march=True),
+    "fog_h8": dict(gi_fast_fog_march=True, gi_fast_hit_steps=8,
+                   gi_fast_hit_steps_spec=8, gi_fast_hit_step_scale_spec=2.0),
+    "fog_h12": dict(gi_fast_fog_march=True, gi_fast_hit_steps=12,
+                    gi_fast_hit_steps_spec=12,
+                    gi_fast_hit_step_scale_spec=1.5),
+    "fog_skip4": dict(gi_fast_fog_march=True, gi_fast_skip_steps=4),
+    "fog_d4": dict(gi_fast_fog_march=True, gi_res_divisor_diffuse=4),
+    "fog_p5": dict(gi_fast_fog_march=True, gi_fast_probe_points=5),
+    "fog_l0": dict(gi_fast_fog_march=True, gi_fast_probe_level=0),
+    "fog_ss05": dict(gi_fast_fog_march=True, gi_fast_hit_step_scale=0.5,
+                     gi_fast_hit_steps=12, gi_fast_hit_steps_spec=12,
+                     gi_fast_hit_step_scale_spec=1.25),
+    # reference-exact step counts/spacing (glsl diffuse 12x0.5, spec 16x1.0)
+    "fog_ref16": dict(gi_fast_fog_march=True, gi_fast_hit_steps=12,
+                      gi_fast_hit_step_scale=0.5, gi_fast_hit_steps_spec=16,
+                      gi_fast_hit_step_scale_spec=1.0),
+    "fog_spec16": dict(gi_fast_fog_march=True, gi_fast_hit_steps=8,
+                       gi_fast_hit_steps_spec=16,
+                       gi_fast_hit_step_scale_spec=1.0),
+    "fog_stop": dict(gi_fast_fog_march=True, gi_fast_hit_steps=8,
+                     gi_fast_hit_steps_spec=8, gi_fast_hit_step_scale_spec=2.0,
+                     gi_fast_probe_to_stop=True),
+    "fog_ref16_stop": dict(gi_fast_fog_march=True, gi_fast_hit_steps=12,
+                           gi_fast_hit_step_scale=0.5,
+                           gi_fast_hit_steps_spec=16,
+                           gi_fast_hit_step_scale_spec=1.0,
+                           gi_fast_probe_to_stop=True),
+    # trilinear fog march (u8 rgb pack) — quantifies the nearest bias
+    "fog_tri": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
+                    gi_fast_hit_steps=8, gi_fast_hit_steps_spec=16,
+                    gi_fast_hit_step_scale_spec=1.0),
+    "fog_s16": dict(gi_fast_fog_march=True, gi_fast_hit_steps=8,
+                    gi_fast_hit_steps_spec=16,
+                    gi_fast_hit_step_scale_spec=1.0),  # = fog_spec16 alias
+    "fog_s16_p5": dict(gi_fast_fog_march=True, gi_fast_hit_steps=8,
+                       gi_fast_hit_steps_spec=16,
+                       gi_fast_hit_step_scale_spec=1.0,
+                       gi_fast_probe_points=5),
+    "fog_s16_l0": dict(gi_fast_fog_march=True, gi_fast_hit_steps=8,
+                       gi_fast_hit_steps_spec=16,
+                       gi_fast_hit_step_scale_spec=1.0,
+                       gi_fast_probe_level=0),
     # --- round-3 hi-z screen trace (gi_fast_screen_mode="hiz" default) ----
     "v5": dict(),
     "v5_i10": dict(gi_hiz_iters=10),

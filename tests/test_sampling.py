@@ -137,3 +137,28 @@ def test_cube_mip_atlas():
     # max lod = global mean per face region (clamped bilinear of 1x1)
     vmax = np.asarray(S.sample_cubemap_lod(atlas, 8, dirs, jnp.full(2, 3.0)))
     assert np.all(np.abs(vmax - np.asarray(faces).mean((1, 2))[[0, 3]]) < 1e-4)
+
+
+def test_mip_atlas_array_window_trilinear():
+    # trilinear(lod) must equal lerp(nearest(l0), nearest(l0+1), frac) and
+    # reduce to the bilinear single-level fetch at integer lods
+    rng = np.random.RandomState(7)
+    tex = rng.rand(8, 8, 12).astype(np.float32)
+    scale = jnp.ones((12,), jnp.float32)
+    atlas = S.build_mip_atlas_window_u8(jnp.asarray(tex), scale)[None]
+    layer = jnp.zeros((5,), jnp.int32)
+    uv = jnp.asarray(rng.rand(5, 2), jnp.float32)
+
+    a0 = S.sample_mip_atlas_array_window_nearest(atlas, layer, uv,
+                                                 jnp.zeros(5), 12, scale=scale)
+    a1 = S.sample_mip_atlas_array_window_nearest(atlas, layer, uv,
+                                                 jnp.ones(5), 12, scale=scale)
+    tri_int = S.sample_mip_atlas_array_window_trilinear(
+        atlas, layer, uv, jnp.zeros(5), 12, scale=scale)
+    np.testing.assert_allclose(np.asarray(tri_int), np.asarray(a0),
+                               rtol=0, atol=1e-6)
+    tri_mid = S.sample_mip_atlas_array_window_trilinear(
+        atlas, layer, uv, jnp.full(5, 0.25), 12, scale=scale)
+    np.testing.assert_allclose(np.asarray(tri_mid),
+                               np.asarray(a0 * 0.75 + a1 * 0.25),
+                               rtol=0, atol=1e-6)

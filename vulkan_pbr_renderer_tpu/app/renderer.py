@@ -313,6 +313,7 @@ def render_frame(
             scene, s, jnp.where(jnp.isinf(depth), 1.0, depth), tri,
             cam.clip_from_world, old_clip_from_world, cfg.alpha_test_threshold,
             world_from_clip=cam.world_from_clip, jitter=jitter,
+            material_filter=cfg.material_filter,
         )
 
     # ---- pass 5: lighting ------------------------------------------------

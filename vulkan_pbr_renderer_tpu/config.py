@@ -95,6 +95,13 @@ class RenderConfig:
     # alpha rows (the round-2 quadrature plateaued at SSIM 0.87, below even
     # whole-term reference ablations — docs/tune_gi)
     gi_fast_march: bool = True
+    # fog-march rgb: phase A + C of the reference march run EXACTLY (same
+    # accumulation, same termination) on an 8-byte nearest-sampled f16 rgba
+    # grid (gi.sample_radiance_fog) instead of the trilinear alpha march +
+    # 3-quantile EMA reconstruction — ~2x the gather rate of the u8 rgb pack
+    # AND structurally exact.  Measured (docs/tune_gi, TPU 960x544, 2 camera
+    # points): SSIM 0.9124 @ 137 ms vs the wave-9 march's 0.9101 @ 162.
+    gi_fast_fog_march: bool = True
     # screen term of the march path: "probes" = k-point depth probes of the
     # [surface, first-open] segment; "hiz" = hierarchical-z trace of the same
     # segment (gi.hiz_trace — the TPU shape of the reference's 24-step linear
@@ -104,6 +111,14 @@ class RenderConfig:
     # fori_loop gathers at the rate ceiling; hlo_stats r3 wave 9).  hiz
     # remains available for offline/quality renders.
     gi_fast_screen_mode: str = "probes"
+    gi_fast_probe_to_stop: bool = False    # probe the [surface, march-stop]
+                                           # segment instead of [surface,
+                                           # first-open] (measured WORSE:
+                                           # 0.8885 vs 0.9124, docs/tune_gi
+                                           # fog_stop — false resolves)
+    gi_fast_fog_trilinear: bool = False    # fog march samples the u8 rgb
+                                           # window pack trilinearly (~2x
+                                           # gather cost; see gi.py)
     gi_hiz_iters: int = 14                 # fixed traversal budget
     gi_hiz_levels: int = 6                 # pyramid depth (cell up to 32 px)
     gi_hiz_thickness: float = 0.75         # two-sided hit window, VIEW-space
@@ -117,11 +132,17 @@ class RenderConfig:
                                            # alpha at the hit is below this
                                            # (glsl:348-356); 0 = off (see
                                            # gi.screen_trace_hiz rationale)
-    gi_fast_hit_steps: int = 6             # diffuse: alpha steps to the stop
-    gi_fast_hit_step_scale: float = 1.0    # x voxel; 6x1 matches the ref's
+    gi_fast_hit_steps: int = 8             # diffuse: march steps to the stop
+    gi_fast_hit_step_scale: float = 1.0    # x voxel; 8x1 vs the ref's
                                            # 12 steps x 0.5 voxel coverage
-    gi_fast_hit_steps_spec: int = 6        # specular ray
-    gi_fast_hit_step_scale_spec: float = 2.5  # (ref: 16 steps x 1.0 eff.)
+                                           # (12x0.5 measured +0.000 SSIM for
+                                           # +36 ms — docs/tune_gi fog_ref16
+                                           # vs fog_spec16)
+    gi_fast_hit_steps_spec: int = 16       # specular ray: reference-exact
+    gi_fast_hit_step_scale_spec: float = 1.0  # 16 x 1.0 voxel (glsl:701);
+                                           # the coarser 8x2.0 skips small
+                                           # emitter voxels (pillar lamp
+                                           # reflections): 0.9124 -> 0.9151
     voxelize_samples: int = 0              # static voxelize sample-stream
                                            # capacity; 0 = 1<<20 (the
                                            # historical default) — Renderer
@@ -158,6 +179,10 @@ class RenderConfig:
     # --- alpha test + material (geometry_pass.glsl:259) -------------------
     alpha_test_threshold: float = 0.3
     f0_dielectric: float = 0.04            # lighting_pass.glsl:657
+    # 'trilinear' = the reference's fixed-function mip filtering
+    # (gpu_vulkan.c:613-634), 2 gather rows/px; 'nearest' = 1 row (the
+    # round-1/2 economy; a documented VISUAL_PARITY.md delta)
+    material_filter: str = "trilinear"
 
     # --- rasterizer (TPU-native; no reference equivalent) -----------------
     raster_kernel: str = "folded"          # 'folded' (v2, visibility_v2.py) or

@@ -293,7 +293,7 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
             cam.clip_from_world, fi.old_clip_from_world,
             cfg.alpha_test_threshold, row_offset=y0,
             world_from_clip=cam.world_from_clip, jitter=fi.jitter,
-            full_size=(h, w),
+            full_size=(h, w), material_filter=cfg.material_filter,
         )
         depth_full = jax.lax.all_gather(gbuf.depth, "sp", axis=0, tiled=True)
 

@@ -131,6 +131,7 @@ def gbuffer_pass(
     world_from_clip=None,
     jitter=None,
     full_size=None,
+    material_filter="nearest",
 ):
     """Assemble the G-buffer.  All inputs are device arrays; fully jit-safe.
 
@@ -235,12 +236,15 @@ def gbuffer_pass(
     lod = 0.5 * jnp.log2(jnp.maximum(du, 1e-12))
     lod = jnp.clip(lod, 0.0, 16.0)
 
-    # nearest-mip (GL *_MIPMAP_NEAREST) from the uint8 window atlas: ONE
-    # 48-byte gather row per pixel (was 2x192B f32 trilinear rows — the
-    # single largest op of the round-1 frame, 277 ms; docs/PERF_NOTES.md)
-    texel = sampling.sample_mip_atlas_array_window_nearest(
-        scene.tex_packed, mat, uv, lod, 12, scale=scene.tex_scale
-    )
+    # material fetch from the uint8 window atlas.  "trilinear" matches the
+    # reference's fixed-function samplers (gpu_vulkan.c:613-634) at TWO
+    # 48-byte gather rows per pixel; "nearest" (GL *_MIPMAP_NEAREST) is the
+    # 1-row economy mode (was 2x192B f32 rows — the single largest op of the
+    # round-1 frame, 277 ms; docs/PERF_NOTES.md)
+    sampler = (sampling.sample_mip_atlas_array_window_trilinear
+               if material_filter == "trilinear"
+               else sampling.sample_mip_atlas_array_window_nearest)
+    texel = sampler(scene.tex_packed, mat, uv, lod, 12, scale=scene.tex_scale)
     base_color = texel[..., 0:4]
     nrm_xy = texel[..., 4:6]
     orm = texel[..., 6:9]

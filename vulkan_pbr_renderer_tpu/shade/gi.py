@@ -344,6 +344,119 @@ def pack_grid_alpha_u16(grid):
     )
 
 
+def pack_grid_f16_nearest(grid):
+    """[D,H,W,4] radiance grid -> f16 rgba for NEAREST-sampled marches.
+
+    8-byte rows gather at the ~161-176 M rows/s rate ceiling (PERF_NOTES
+    row-format sweep) vs the trilinear u8[32] window pack's flat ~78 M/s —
+    and the table is 16.8 MB at 128^3, comfortably under the VMEM-promotion
+    cliff.  Nearest sampling is exact for alpha (the sweep writes 0/1) and
+    the swept radiance is smooth enough that the march's noise dither + TAA
+    integrate away the voxel banding trilinear would hide (measured SSIM
+    delta in docs/tune_gi 'fog' variants)."""
+    return grid.astype(jnp.float16)
+
+
+def _sample_nearest_grid(fgrid, ro):
+    """One 8-byte rgba row at grid-NDC ro (uvw = ro*0.5+0.5), nearest voxel."""
+    d, h, w = fgrid.shape[:3]
+    uvw = ro * 0.5 + 0.5
+    iz = jnp.clip((uvw[..., 2] * d).astype(jnp.int32), 0, d - 1)
+    iy = jnp.clip((uvw[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    ix = jnp.clip((uvw[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    return fgrid[iz, iy, ix].astype(jnp.float32)
+
+
+def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
+                        skip_steps=4, open_thresh=0.3, march_steps=8,
+                        hit_thresh=0.3, step_scale=1.0, foggyness=0.5,
+                        noise=None, trilinear_grid=None):
+    """Reference-structured fast GI: the EXACT phase A + phase C march of
+    SampleRadianceWithScreenSpaceTrace (lighting_pass.glsl:280-288, 399-423)
+    on an 8-byte nearest-sampled rgba grid (pack_grid_f16_nearest).
+
+    Phase A skips initial blockage (alpha < open_thresh ends the skip),
+    seeding the sum with the first open voxel's radiance (glsl:288).  Phase C
+    then fog-marches: each open voxel folds into the exponential average
+    sum = sum*foggyness + (rgb, 1) (glsl:409-418); a voxel with alpha >
+    hit_thresh stops the lane.  noise jitters the march start by one sub-step
+    (glsl:399) so quantized stops dither and TAA integrates them smooth.
+
+    vs sample_radiance_march (the wave-9 path): that marched 16-byte
+    TRILINEAR alpha rows and reconstructed the fog average from 3 quantile
+    rgb rows of the 32-byte u8 pack (~78 M rows/s); this pays ~the same row
+    count at 2x the gather rate AND reproduces the reference's accumulation
+    exactly instead of approximating it.  foggyness may be a scalar or a
+    per-lane array (the reference uses roughness for the specular ray).
+
+    trilinear_grid (a pack_grid_u8 window table): sample it trilinearly
+    instead of the nearest fgrid rows — 32-byte u8 rows at ~78 M rows/s vs
+    8-byte f16 at ~165+ (diagnostic: quantifies the nearest-sampling
+    darkening bias — tone compression is concave, so the higher-variance
+    nearest samples average darker after TAA).
+
+    Returns (rgb, ro_open, ro_stop, hit, found) in sample_radiance_march's
+    contract so the screen-probe wiring is shared."""
+    gsize = fgrid.shape[0]
+    voxel = 2.0 / gsize
+    rd = rd_unit * voxel
+    ro = ro_world * lightgrid_scale
+    fetch = (_sample_nearest_grid if trilinear_grid is None
+             else lambda _g, p: grid_sample(trilinear_grid, p))
+
+    found0 = jnp.zeros(ro.shape[:-1], bool)
+
+    def body_skip(i, carry):
+        ro_c, found, seed = carry
+        ro_n = jnp.where(found[..., None], ro_c, ro_c + rd)
+        s = fetch(fgrid, ro_n)
+        newly = (~found) & (s[..., 3] < open_thresh)
+        seed = jnp.where(newly[..., None], s[..., :3], seed)
+        return ro_n, found | newly, seed
+
+    seed0 = jnp.zeros(ro.shape[:-1] + (3,), jnp.float32)
+    carry = (ro, found0, seed0)
+    if skip_steps <= 4:
+        for i in range(skip_steps):
+            carry = body_skip(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, skip_steps, body_skip, carry)
+    ro_open, found, seed = carry
+
+    # phase C: sum seeded with (first-open rgb, 1) (glsl:288 -> 399)
+    sum0 = jnp.concatenate(
+        [seed, found[..., None].astype(jnp.float32)], -1
+    ).at[..., 3].add(1e-4)
+    rdm = rd * step_scale
+    ro_m0 = ro_open if noise is None else ro_open + rdm * noise[..., None]
+    fog = (foggyness[..., None] if jnp.ndim(foggyness) else
+           jnp.asarray(foggyness, jnp.float32))
+    hit0 = jnp.zeros(ro.shape[:-1], bool)
+
+    def body_fog(i, carry):
+        ro_c, sum_c, hit = carry
+        live = found & ~hit
+        ro_n = jnp.where(live[..., None], ro_c + rdm, ro_c)
+        s = fetch(fgrid, ro_n)
+        hits = s[..., 3] > hit_thresh
+        open_live = live & ~hits
+        add = jnp.concatenate([s[..., :3], jnp.ones_like(s[..., 3:])], -1)
+        sum_n = jnp.where(open_live[..., None], sum_c * fog + add, sum_c)
+        return ro_n, sum_n, hit | (hits & live)
+
+    carry = (ro_m0, sum0, hit0)
+    if march_steps <= 8:
+        for i in range(march_steps):
+            carry = body_fog(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, march_steps, body_fog, carry)
+    ro_stop, sum4, hit = carry
+
+    rgb = _tone(sum4)
+    rgb = jnp.where(found[..., None], rgb, 0.0)
+    return rgb, ro_open, ro_stop, hit & found, found
+
+
 def _sample_alpha_u16(agrid, ro):
     """Trilinear alpha at grid-NDC ro from a pack_grid_alpha_u16 table."""
     return sampling.sample_trilinear_window(

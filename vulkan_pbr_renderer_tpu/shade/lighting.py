@@ -314,7 +314,16 @@ def lighting_pass(
             # INTERIOR probes of the [surface, first-open] segment — the only
             # region the reference's screen trace covers (its dist_to_travel
             # is |to_open|, gi.py sample_radiance_with_screen_trace phase B)
-            depth_half = trace_depth[::2, ::2]
+            # min-of-2x2 half-res depth: a reduce-window lowers ~free where
+            # the [::2,::2] strided slice lowered to a 6 ms/frame gather
+            # (hlo_stats r3); min is CONSERVATIVE for the probes' "behind
+            # visible geometry" test (never fakes a hit a full-res ray
+            # would miss... it can only move the surface nearer)
+            th_, tw_ = trace_depth.shape
+            depth_half = jax.lax.reduce_window(
+                trace_depth, jnp.float32(jnp.inf), jax.lax.min,
+                (2, 2), (2, 2), "valid",
+            ) if (th_ % 2 == 0 and tw_ % 2 == 0) else trace_depth[::2, ::2]
             if cfg.gi_fast_screen_probe and cfg.gi_fast_screen_mode == "hiz":
                 # one min-depth pyramid shared by the diffuse + specular
                 # traces (and, sharded, identical on every shard — built from
@@ -322,16 +331,35 @@ def lighting_pass(
                 hiz, hiz_offs = gi.build_hiz_atlas(depth_half,
                                                    cfg.gi_hiz_levels)
 
+            if cfg.gi_fast_fog_march:
+                fgrid = gi.pack_grid_f16_nearest(res.lightgrid)
+
             def march_resolve(pw, rd_unit, hit_steps, step_scale,
-                              ss_intensity, noise):
-                rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_march(
-                    wgrid, walpha, pw, rd_unit, cfg.lightgrid_scale,
-                    skip_steps=cfg.gi_fast_skip_steps,
-                    open_thresh=cfg.gi_fast_open_thresh,
-                    hit_steps=hit_steps, step_scale=step_scale,
-                    noise=noise, rgb_samples=cfg.gi_fast_samples,
-                )
+                              ss_intensity, noise, foggyness=0.5):
+                if cfg.gi_fast_fog_march:
+                    rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_fog(
+                        fgrid, pw, rd_unit, cfg.lightgrid_scale,
+                        skip_steps=cfg.gi_fast_skip_steps,
+                        open_thresh=cfg.gi_fast_open_thresh,
+                        march_steps=hit_steps, step_scale=step_scale,
+                        noise=noise, foggyness=foggyness,
+                        trilinear_grid=(wgrid if cfg.gi_fast_fog_trilinear
+                                        else None),
+                    )
+                else:
+                    rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_march(
+                        wgrid, walpha, pw, rd_unit, cfg.lightgrid_scale,
+                        skip_steps=cfg.gi_fast_skip_steps,
+                        open_thresh=cfg.gi_fast_open_thresh,
+                        hit_steps=hit_steps, step_scale=step_scale,
+                        noise=noise, rgb_samples=cfg.gi_fast_samples,
+                    )
                 if cfg.gi_fast_screen_probe:
+                    if cfg.gi_fast_probe_to_stop:
+                        # probe the full [surface, march stop] segment — for
+                        # specular rays the interesting on-screen target (the
+                        # reflected wall/lamp) is usually PAST first-open
+                        ro_open = ro_stop
                     if cfg.gi_fast_screen_mode == "hiz":
                         res_m, ss_rgb = gi.screen_trace_hiz(
                             pw * cfg.lightgrid_scale, ro_open,
@@ -364,6 +392,7 @@ def lighting_pass(
             ambient = march_resolve(
                 pwd_d, bent_d, cfg.gi_fast_hit_steps,
                 cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity, n3dd,
+                foggyness=cfg.gi_diffuse_foggyness,
             )
         elif cfg.gi_mode == "fast":
             ambient, ro_open = gi.sample_radiance_fast(
@@ -411,7 +440,7 @@ def lighting_pass(
             spec = march_resolve(
                 pwd, r, cfg.gi_fast_hit_steps_spec,
                 cfg.gi_fast_hit_step_scale_spec, cfg.gi_specular_ss_intensity,
-                n3d,
+                n3d, foggyness=spec_fog,
             )
         elif cfg.gi_mode == "fast":
             spec, ro_open_s = gi.sample_radiance_fast(
