@@ -59,6 +59,17 @@ VARIANTS = {
                        gi_fast_hit_steps_spec=16,
                        gi_fast_hit_step_scale_spec=1.0,
                        gi_fast_probe_level=0),
+    # refinements on top of the trilinear fog default
+    "tri_ref": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
+                    gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
+                    gi_fast_hit_steps_spec=16,
+                    gi_fast_hit_step_scale_spec=1.0),
+    "tri_l0": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
+                   gi_fast_probe_level=0),
+    "tri_skip4": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
+                      gi_fast_skip_steps=4),
+    "tri_d1": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
+                   gi_res_divisor=1),
     # --- round-3 hi-z screen trace (gi_fast_screen_mode="hiz" default) ----
     "v5": dict(),
     "v5_i10": dict(gi_hiz_iters=10),

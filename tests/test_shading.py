@@ -373,3 +373,72 @@ def test_bloom_constant_image_adds_strength_fraction():
     # downsamples of a constant are constant (weights sum 1); firefly clamp no-op;
     # final = 0.5 + 0.06*0.5 in the interior
     np.testing.assert_allclose(out[16:48, 16:48], 0.5 * 1.06, rtol=1e-3)
+
+
+def test_grid_u16_bitcast_sampling_bit_identical():
+    # the u16-bitcast gather view of pack_grid_u8 must reproduce the u8
+    # decode path exactly (gi._gs_uvw rationale)
+    from vulkan_pbr_renderer_tpu.gpu import sampling as S
+
+    rng = np.random.RandomState(3)
+    grid = jnp.asarray(rng.rand(8, 8, 8, 4).astype(np.float32) * 4.0)
+    grid = grid.at[..., 3].set((grid[..., 3] > 2.0).astype(jnp.float32))
+    pack = gi.pack_grid_u8(grid)
+    uvw = jnp.asarray(rng.rand(64, 3).astype(np.float32))
+    via_u16 = gi._gs_uvw(pack, uvw)
+    direct = S.sample_trilinear_window(pack, uvw, 4, decode=gi._decode_grid_u8)
+    np.testing.assert_array_equal(np.asarray(via_u16), np.asarray(direct))
+
+
+def test_sample_radiance_fog_sees_lit_voxel():
+    # a bright voxel within march reach shows up in the fog result; a fully
+    # blocked start returns 0 (sample_radiance_fog contract)
+    D = 16
+    grid = jnp.zeros((D, D, D, 4), jnp.float32)
+    # solid wall at z index 8 and a bright voxel just before it
+    grid = grid.at[8, :, :, 3].set(1.0)
+    grid = grid.at[7, 8, 8, :3].set(5.0)
+    fgrid = gi.pack_grid_f16_nearest(grid)
+    scale = 1.0 / 10.0  # world [-10,10] -> ndc
+    # start below the wall, ray +z (grid dim 0 = z)
+    ro = jnp.asarray([[0.5, 0.5, -5.0]], jnp.float32)  # world
+    rd = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    rgb, ro_open, ro_stop, hit, found = gi.sample_radiance_fog(
+        fgrid, ro, rd, scale, skip_steps=3, march_steps=12)
+    assert bool(found[0])
+    assert bool(hit[0])                      # the wall stops the march
+    assert float(rgb[0].max()) > 0.0         # picked up the bright voxel
+    # fully enclosed start: no opening within skip budget -> black
+    solid = jnp.zeros((D, D, D, 4), jnp.float32).at[..., 3].set(1.0)
+    rgb2, _, _, _, found2 = gi.sample_radiance_fog(
+        gi.pack_grid_f16_nearest(solid), ro, rd, scale, skip_steps=3,
+        march_steps=6)
+    assert not bool(found2[0])
+    assert float(jnp.abs(rgb2).max()) == 0.0
+
+
+def test_taa_full_rgb_catmull_matches_dense_reference():
+    """full_rgb_catmull resamples history with the exact 16-tap RGB
+    Catmull-Rom (taa_resolve.glsl:125-174) — verify the window-pack path
+    against the dense sampler on the same reprojected uv."""
+    from vulkan_pbr_renderer_tpu.gpu import sampling as S
+
+    rng = np.random.default_rng(9)
+    h, w = 48, 64
+    history = jnp.asarray(rng.random((h, w, 3)).astype(np.float32) * 2.0)
+    vel = jnp.full((h, w, 2), 0.013)
+    uv = jnp.stack(jnp.meshgrid(
+        (jnp.arange(w) + 0.5) / w, (jnp.arange(h) + 0.5) / h,
+        indexing="xy"), -1) - vel * 0.5
+    ref = np.asarray(S.sample_catmull_rom(history, uv))
+    wrgb = S.window_pack(history, 4, 4, dtype=jnp.float16)
+    got = np.asarray(S.sample_catmull_rom_window_decode(wrgb, h, w, uv, 3))
+    interior = np.s_[4:-4, 4:-4]
+    np.testing.assert_allclose(got[interior], ref[interior],
+                               rtol=0.005, atol=0.004)
+    # and the resolve path wires it in without blowing up
+    lighting = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    out = np.asarray(taa.taa_resolve(lighting, depth, vel, vel, history,
+                                     full_rgb_catmull=True))
+    assert np.isfinite(out).all()

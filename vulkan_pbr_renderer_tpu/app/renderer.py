@@ -222,6 +222,7 @@ def post_stack(hdr, depth, velocity, state: FrameState, cfg):
                 hdr, depth, velocity, state.velocity_prev, history,
                 cfg.taa_blend, cfg.taa_velocity_rejection,
                 catmull_history=cfg.taa_catmull_history,
+                full_rgb_catmull=cfg.taa_full_rgb_catmull,
             )
     else:
         taa_out = hdr

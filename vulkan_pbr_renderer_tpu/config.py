@@ -116,9 +116,17 @@ class RenderConfig:
                                            # first-open] (measured WORSE:
                                            # 0.8885 vs 0.9124, docs/tune_gi
                                            # fog_stop — false resolves)
-    gi_fast_fog_trilinear: bool = False    # fog march samples the u8 rgb
-                                           # window pack trilinearly (~2x
-                                           # gather cost; see gi.py)
+    gi_fast_fog_trilinear: bool = True     # fog march samples the rgb window
+                                           # pack trilinearly through the u16
+                                           # BITCAST view (gi._gs_uvw).
+                                           # Measured (tune_gi, same run):
+                                           # 0.9244 @ 144 ms vs nearest's
+                                           # 0.9150 @ 178 — the nearest
+                                           # march's point samples average
+                                           # darker through the concave tone
+                                           # compression AND its 8-byte f16
+                                           # rows gather no faster than the
+                                           # bitcast 32-byte rows
     gi_hiz_iters: int = 14                 # fixed traversal budget
     gi_hiz_levels: int = 6                 # pyramid depth (cell up to 32 px)
     gi_hiz_thickness: float = 0.75         # two-sided hit window, VIEW-space
@@ -163,6 +171,12 @@ class RenderConfig:
     taa_blend: float = 0.05                # taa_resolve.glsl:246
     taa_catmull_history: bool = True       # 9-tap Catmull-Rom (taa_resolve.glsl:125);
                                            # False = single bilinear (4 vs 36 gathers)
+    taa_full_rgb_catmull: bool = False     # reference-exact full-RGB Catmull
+                                           # history (one 96B 4x4 rgb window
+                                           # row via the i32 bitcast view +
+                                           # a 16B prev-velocity row) instead
+                                           # of the YCoCg split (32B luma
+                                           # Catmull + 32B bilinear chroma)
     taa_velocity_rejection: float = 1000.0  # taa_resolve.glsl:263
     exposure: float = 2.0                  # final_post_process.glsl:32
     emissive_scale: float = 10.0           # lighting_pass.glsl:440

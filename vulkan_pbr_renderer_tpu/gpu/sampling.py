@@ -26,6 +26,7 @@ rasterizer needed custom Pallas kernels (raster/).
 from __future__ import annotations
 
 import math
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,31 @@ def _wrap_coord(i, n, mode):
     elif mode == "wrap":
         return jnp.mod(i, n)
     raise ValueError(f"unknown address mode {mode!r}")
+
+
+def take_rows(flat, idx):
+    """jnp.take(flat, idx, axis=0) through an i32 BITCAST view of the rows
+    when the table is 8/16-bit typed with a 4-byte-divisible row.
+
+    Same bytes move either way, but narrow-dtype gathers pay a flat rate
+    penalty (PERF_NOTES row-format sweep: u16 58-76 M rows/s at 64-96 B vs
+    f32's 89-100; u8 ~78 flat) that the 32-bit view recovers — measured
+    in-frame by the fog-march trilinear A/B (docs/tune_gi fog_tri: the
+    bitcast 32-byte rows beat both the u8 path and the 8-byte f16 nearest
+    rows).  Integer bitcast is bit-exact (no NaN canonicalization risk).
+    Returns rows in the ORIGINAL dtype."""
+    n, c = flat.shape
+    per = {jnp.uint16.dtype: 2, jnp.float16.dtype: 2,
+           jnp.uint8.dtype: 4, jnp.int8.dtype: 4}.get(flat.dtype, None)
+    if per is None or c % per != 0:
+        return jnp.take(flat, idx, axis=0)
+    v32 = jax.lax.bitcast_convert_type(
+        flat.reshape(n, c // per, per), jnp.int32
+    )
+    r = jnp.take(v32, idx, axis=0)
+    return jax.lax.bitcast_convert_type(r, flat.dtype).reshape(
+        idx.shape + (c,)
+    )
 
 
 def _gather2d(tex, iy, ix):
@@ -401,7 +427,7 @@ def sample_trilinear_window(wvol, uvw, channels, decode=None):
     fz = jnp.where((z0f < 0)[..., None], 0.0, fz)
 
     flat = wvol.reshape(d * h * w, c8)
-    row = jnp.take(flat, (iz * h + iy) * w + ix, axis=0)
+    row = take_rows(flat, (iz * h + iy) * w + ix)
     if row.dtype != jnp.float32:
         row = row.astype(jnp.float32)
     cc = channels
@@ -437,7 +463,7 @@ def sample_catmull_rom_window(wtex, base_h, base_w, uv, channels):
     t0x = jnp.clip(t1[..., 0].astype(jnp.int32) - 1, 0, base_w - 4)
     t0y = jnp.clip(t1[..., 1].astype(jnp.int32) - 1, 0, base_h - 4)
     flat = wtex.reshape(base_h * base_w, -1)
-    row = jnp.take(flat, t0y * base_w + t0x, axis=0)
+    row = take_rows(flat, t0y * base_w + t0x)
     if row.dtype != jnp.float32:
         row = row.astype(jnp.float32)
     cc = channels
@@ -469,7 +495,7 @@ def sample_bilinear_window(wtex, base_h, base_w, uv, channels, mode="clamp"):
         fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
         fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
     flat = wtex.reshape(base_h * base_w, -1)
-    row = jnp.take(flat, iy * base_w + ix, axis=0)
+    row = take_rows(flat, iy * base_w + ix)
     if row.dtype != jnp.float32:
         row = row.astype(jnp.float32)
     c = channels
@@ -521,7 +547,7 @@ def sample_depth_compare_window(wdepth, base_size, uv, ref):
     fx = jnp.where(x0f < 0, 0.0, fx)
     fy = jnp.where(y0f < 0, 0.0, fy)
     flat = wdepth.reshape(s * s, -1)
-    row = _dequant_depth_row(jnp.take(flat, iy * s + ix, axis=0))
+    row = _dequant_depth_row(take_rows(flat, iy * s + ix))
     c00 = (ref < row[..., 0]).astype(jnp.float32)
     c10 = (ref < row[..., 1]).astype(jnp.float32)
     c01 = (ref < row[..., wx]).astype(jnp.float32)
@@ -597,7 +623,7 @@ def sample_catmull_rom_window_decode(wtex, base_h, base_w, uv, channels,
     t0x = jnp.clip(t1[..., 0].astype(jnp.int32) - 1, 0, base_w - 4)
     t0y = jnp.clip(t1[..., 1].astype(jnp.int32) - 1, 0, base_h - 4)
     flat = wtex.reshape(base_h * base_w, -1)
-    row = jnp.take(flat, t0y * base_w + t0x, axis=0)
+    row = take_rows(flat, t0y * base_w + t0x)
     if row.dtype != jnp.float32:
         row = row.astype(jnp.float32)
     cc = channels
@@ -667,7 +693,7 @@ def sample_mip_atlas_array_window(atlas, layer, uv, lod, channels, mode="wrap"):
             iy = jnp.clip(y0f.astype(jnp.int32), 0, ls - 1)
             fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
             fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
-        row = jnp.take(flat, (layer * base_h + iy) * wa + off + ix, axis=0)
+        row = take_rows(flat, (layer * base_h + iy) * wa + off + ix)
         t00 = row[..., 0 * c : 1 * c]
         t10 = row[..., 1 * c : 2 * c]
         t01 = row[..., 2 * c : 3 * c]
@@ -751,7 +777,7 @@ def sample_pcf4_window(wdepth, base_size, uv, ref, offsets):
     base_x = jnp.clip(jnp.floor(p[..., 0]).astype(jnp.int32) - 1, 0, s - 4)
     base_y = jnp.clip(jnp.floor(p[..., 1]).astype(jnp.int32) - 1, 0, s - 4)
     flat = wdepth.reshape(s * s, -1)
-    row = jnp.take(flat, base_y * s + base_x, axis=0)
+    row = take_rows(flat, base_y * s + base_x)
 
     T = [[row[..., i * 4 + j] for j in range(4)] for i in range(4)]
     cmp = [[(ref < T[i][j]).astype(jnp.float32) for j in range(4)] for i in range(4)]
@@ -812,7 +838,7 @@ def _quad_window(qtex, base_y, base_x, n_blocks):
         for b in range(n_blocks):
             iy = jnp.clip(base_y + a, 0, hb - 1)
             ix = jnp.clip(base_x + b, 0, wb - 1)
-            rows[(a, b)] = jnp.take(flat, iy * wb + ix, axis=0)
+            rows[(a, b)] = take_rows(flat, iy * wb + ix)
     u_grid = {}
     for a in range(n_blocks):
         for b in range(n_blocks):
@@ -1201,7 +1227,7 @@ def sample_mip_atlas_array_window_nearest(atlas, layer, uv, lod, channels,
         iy = jnp.clip(y0f.astype(jnp.int32), 0, ls - 1)
         fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
         fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
-    row = jnp.take(flat, (layer * base_h + iy) * wa + off + ix, axis=0)
+    row = take_rows(flat, (layer * base_h + iy) * wa + off + ix)
     row = row.astype(jnp.float32)
     if scale is not None:
         row = row * (jnp.tile(jnp.asarray(scale, jnp.float32), 4) / 255.0)
@@ -1295,7 +1321,7 @@ def _cube_window_level_sample(flat, s, wa, c, face, uv, ls, off):
     iy = jnp.clip(y0f.astype(jnp.int32), 0, ls - 1)
     fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
     fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
-    row = jnp.take(flat, (face * s + iy) * wa + off + ix, axis=0)
+    row = take_rows(flat, (face * s + iy) * wa + off + ix)
     row = row.astype(jnp.float32)
     t00 = row[..., 0 * c : 1 * c]
     t10 = row[..., 1 * c : 2 * c]

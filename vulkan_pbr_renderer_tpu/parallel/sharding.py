@@ -123,6 +123,7 @@ def _post_stack_sharded(hdr_full, depth_full, vel_full, state, cfg, y0, rows):
             state.velocity_prev, history,
             cfg.taa_blend, cfg.taa_velocity_rejection,
             catmull_history=cfg.taa_catmull_history,
+            full_rgb_catmull=cfg.taa_full_rgb_catmull,
             halo=1, row_offset=y0, full_height=h,
         )
         taa_out = jax.lax.all_gather(taa_rows, "sp", axis=0, tiled=True)

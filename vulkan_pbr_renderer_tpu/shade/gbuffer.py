@@ -155,8 +155,12 @@ def gbuffer_pass(
         jnp.arange(h, dtype=jnp.float32)[:, None] + row_offset, (h, w)
     )
 
-    # ONE gather row per pixel (pack_gbuffer_row)
-    row = pack_gbuffer_row(setup, scene)[tid]      # [H,W,48] u16
+    # ONE gather row per pixel (pack_gbuffer_row), fetched through the i32
+    # bitcast view (sampling.take_rows: u16[48] 96B rows gather at the
+    # 16-bit-dtype penalty rate; the same bytes as i32[24] go ~30% faster)
+    row = sampling.take_rows(
+        pack_gbuffer_row(setup, scene).reshape(-1, 48), tid
+    )                                              # [H,W,48] u16
     sh = row.shape[:-1]
     adj = jax.lax.bitcast_convert_type(
         row[..., 0:18].reshape(sh + (9, 2)), jnp.float32

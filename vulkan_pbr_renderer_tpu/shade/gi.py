@@ -476,13 +476,40 @@ def _decode_grid_u8(v):
     return jnp.concatenate([rgb, s[..., 3:]], -1)
 
 
+def _decode_grid_u16pair(v):
+    """Per-corner decode for the u16-BITCAST view of pack_grid_u8 rows.
+    v [...,2] holds (r | g<<8, b | a<<8) as exact f32 integers; the byte
+    split is exact float math (values < 2^16), so the result is BIT-IDENTICAL
+    to _decode_grid_u8 on the original u8 row."""
+    hi0 = jnp.floor(v[..., 0] * (1.0 / 256.0))
+    hi1 = jnp.floor(v[..., 1] * (1.0 / 256.0))
+    q = jnp.stack(
+        [v[..., 0] - hi0 * 256.0, hi0, v[..., 1] - hi1 * 256.0], -1
+    )
+    s = q * (1.0 / 255.0)
+    c2 = s * s
+    rgb = c2 / jnp.maximum(1.0 - c2, 1.0 / 256.0)
+    return jnp.concatenate([rgb, hi1[..., None] * (1.0 / 255.0)], -1)
+
+
 def _gs_uvw(vol, uvw):
     """Trilinear fetch accepting a raw [D,H,W,4] grid or a window-packed
     [D,H,W,32] one (pack_grid_u8 / sampling.window_pack3d — ONE gather row).
-    uint8 pack corners are decompressed to raw radiance before the lerp."""
+
+    uint8 packs are gathered through a u16 BITCAST view: the u8 DTYPE pays a
+    flat ~78 M rows/s unpacking penalty while the same 32 bytes as u16[16]
+    gather at ~144-146 (PERF_NOTES row-format sweep); the per-corner byte
+    split is exact f32 math, so results are bit-identical to the u8 path."""
     if vol.shape[-1] == 32:
-        decode = _decode_grid_u8 if vol.dtype == jnp.uint8 else None
-        return sampling.sample_trilinear_window(vol, uvw, 4, decode=decode)
+        if vol.dtype == jnp.uint8:
+            d, h, w, _ = vol.shape
+            v16 = jax.lax.bitcast_convert_type(
+                vol.reshape(d, h, w, 16, 2), jnp.uint16
+            )
+            return sampling.sample_trilinear_window(
+                v16, uvw, 2, decode=_decode_grid_u16pair
+            )
+        return sampling.sample_trilinear_window(vol, uvw, 4)
     return sampling.sample_trilinear_3d(vol, uvw)
 
 

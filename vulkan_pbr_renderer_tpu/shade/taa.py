@@ -42,6 +42,7 @@ def taa_resolve(
     halo=0,
     row_offset=0,
     full_height=None,
+    full_rgb_catmull=False,
 ):
     """Returns the new TAA output [H,W,3] (H = input rows − 2*halo).
 
@@ -115,7 +116,20 @@ def taa_resolve(
     #    (round 3; the baseline profile showed 35 ms of TAA gathers).
     # 2 gather rows/pixel total.  The reference's RGB Catmull
     # (taa_resolve.glsl:125-174) differs only by the chroma filter.
-    if catmull_history:
+    if catmull_history and full_rgb_catmull:
+        # reference-exact full-RGB Catmull-Rom (taa_resolve.glsl:125-174):
+        # one 96-byte 4x4 rgb window row (f16[48], gathered through the i32
+        # bitcast view — sampling.take_rows) + one 16-byte 2x2 prev-velocity
+        # row.  The YCoCg split below is the economy mode (32B + 32B) whose
+        # only delta is bilinear chroma (VISUAL_PARITY.md).
+        wrgb = sampling.window_pack(history, 4, 4, dtype=jnp.float16)
+        prev_color = sampling.sample_catmull_rom_window_decode(
+            wrgb, fh, w, reproj_uv, 3
+        )
+        prev_color = jnp.maximum(prev_color, 0.0)   # Catmull undershoot
+        wvel = sampling.window_pack(velocity_prev, 2, 2, dtype=jnp.float16)
+        prev_vel = sampling.sample_bilinear_window(wvel, fh, w, reproj_uv, 2)
+    elif catmull_history:
         y = (0.25 * history[..., 0] + 0.5 * history[..., 1]
              + 0.25 * history[..., 2])
         co = 0.5 * history[..., 0] - 0.5 * history[..., 2]
