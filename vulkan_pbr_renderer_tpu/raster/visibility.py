@@ -105,14 +105,19 @@ def _vis_kernel(starts_ref, data_ref, depth_ref, id_ref, *, tile_h, tile_w,
                 e2 = ax2 * px + ay2 * py + ac2
                 esum = e0 + e1 + e2
                 # depth: vertex-interp (cols = z0,dz1,dz2) when zvmode, else
-                # the screen-linear plane (near-plane-crossing tris)
-                z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
+                # the screen-linear plane (near-plane-crossing tris); phrased
+                # as the rational N/D with a pre-division range test to stay
+                # bitwise-identical to xla_raster.rasterize_vis
+                n_hp = zx * esum + (e1 * zy + e2 * zc)
                 z_pl = zx * px + zy * py + zc
-                z = jnp.where(zvmode > 0.5, z_hp, z_pl)
+                vert = zvmode > 0.5
+                n_sel = jnp.where(vert, n_hp, z_pl)
+                d_sel = jnp.where(vert, esum, 1.0)
                 cov = (
                     (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                    & (esum > 0.0) & (z >= 0.0) & (z <= 1.0)
+                    & (esum > 0.0) & (n_sel >= 0.0) & (n_sel <= d_sel)
                 )
+                z = n_sel / jnp.where(d_sel == 0.0, 1e-20, d_sel)
                 sl = pl.ds(rb * block_h, block_h)
                 bz = depth_ref[sl, :]
                 take = cov & (z < bz)

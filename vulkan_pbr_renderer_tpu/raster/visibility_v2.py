@@ -53,8 +53,8 @@ NCOL = 13  # binning.pack_tri_data_slim columns
 
 
 def _vis_kernel_folded(starts_ref, minz_ref, yorg_ref, pair_ref,
-                       depth_out, id_out, buf, depth_acc, id_acc, sem, *,
-                       tile, chunk, tiles_x, hiz):
+                       depth_out, id_out, buf, depth_acc, id_acc, den_acc,
+                       sem, *, tile, chunk, tiles_x, hiz):
     pix = tile * tile
     t = pl.program_id(0)
     ty = t // tiles_x
@@ -78,6 +78,8 @@ def _vis_kernel_folded(starts_ref, minz_ref, yorg_ref, pair_ref,
 
     depth_acc[:] = jnp.full((chunk, pix), FAR, jnp.float32)
     id_acc[:] = jnp.full((chunk, pix), BIG_ID, jnp.float32)
+    if not hiz:
+        den_acc[:] = jnp.full((chunk, pix), 1.0, jnp.float32)
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(
@@ -86,8 +88,19 @@ def _vis_kernel_folded(starts_ref, minz_ref, yorg_ref, pair_ref,
             sem.at[slot],
         )
 
-    def eval_chunk(slot, i):
-        get_dma(slot, i).wait()
+    def eval_common(slot, i):
+        """Shared coverage + rational depth (N, D) eval for one chunk.
+
+        Depth is the rational N/D (N = z0*esum + e1*dz1 + e2*dz2, D = esum
+        for vertex-interp rows; N = plane z, D = 1 for w-crossing rows) with
+        the range test PRE-division — bitwise the scheme in
+        xla_raster.rasterize_vis.  The per-(chunk,pixel) DIVISION of the old
+        kernel (the single most expensive VPU op in the loop) is gone: the
+        non-hiz accumulator keeps (N, D) and depth-tests rationally, dividing
+        once per TILE at resolve (~13x fewer divides at bench scale).
+        Products stay far from f32 overflow: |N| <= |D| under coverage and
+        |D| = |esum| ~ (w*W)^2*W <~ 1e15, so cross-products <= ~1e30.
+        """
         d = jnp.swapaxes(buf[slot], 0, 1)   # [chunk, NCOL] f32
         e0 = d[:, 0:1] * px + d[:, 1:2] * py + d[:, 2:3]
         e1 = d[:, 3:4] * px + d[:, 4:5] * py + d[:, 5:6]
@@ -96,20 +109,40 @@ def _vis_kernel_folded(starts_ref, minz_ref, yorg_ref, pair_ref,
         em = jnp.minimum(jnp.minimum(e0, e1), e2)
         zx, zy, zc = d[:, 9:10], d[:, 10:11], d[:, 11:12]
         enc = d[:, 12:13]  # ±(id+1); + = vertex-interp depth, − = plane
-        z_hp = zx + (e1 * zy + e2 * zc) / jnp.where(esum == 0.0, 1e-20, esum)
+        n_hp = zx * esum + (e1 * zy + e2 * zc)
         z_pl = zx * px + zy * py + zc
-        z = jnp.where(enc > 0.0, z_hp, z_pl)
+        vert = enc > 0.0
+        n_sel = jnp.where(vert, n_hp, z_pl)
+        d_sel = jnp.where(vert, esum, 1.0)
         row_glob = (blk0 + i) * chunk + row
         rowok = (row_glob >= start) & (row_glob < end)  # my segment only
         cov = (
             (em >= 0.0) & (esum > 0.0) & rowok
-            & (z >= 0.0) & (z <= 1.0)
+            & (n_sel >= 0.0) & (n_sel <= d_sel)
         )
-        zm = jnp.where(cov, z, FAR)
-        cur = depth_acc[:]
-        take = zm < cur
-        depth_acc[:] = jnp.where(take, zm, cur)
-        id_acc[:] = jnp.where(take, jnp.abs(enc) - 1.0, id_acc[:])
+        return n_sel, d_sel, cov, enc
+
+    def eval_chunk(slot, i):
+        get_dma(slot, i).wait()
+        n_sel, d_sel, cov, enc = eval_common(slot, i)
+        if hiz:
+            # the early-exit bound needs actual z per chunk — keep the divide
+            z = n_sel / jnp.where(d_sel == 0.0, 1e-20, d_sel)
+            zm = jnp.where(cov, z, FAR)
+            cur = depth_acc[:]
+            take = zm < cur
+            depth_acc[:] = jnp.where(take, zm, cur)
+            id_acc[:] = jnp.where(take, jnp.abs(enc) - 1.0, id_acc[:])
+        else:
+            nm = jnp.where(cov, n_sel, FAR)
+            dm = jnp.where(cov, d_sel, 1.0)
+            cur_n = depth_acc[:]
+            cur_d = den_acc[:]
+            # rational depth test: nm/dm < cur_n/cur_d  (both dens > 0)
+            take = nm * cur_d < cur_n * dm
+            depth_acc[:] = jnp.where(take, nm, cur_n)
+            den_acc[:] = jnp.where(take, dm, cur_d)
+            id_acc[:] = jnp.where(take, jnp.abs(enc) - 1.0, id_acc[:])
 
     @pl.when(nchunks > 0)
     def _body():
@@ -151,8 +184,10 @@ def _vis_kernel_folded(starts_ref, minz_ref, yorg_ref, pair_ref,
 
         jax.lax.fori_loop(0, nchunks, chunk_body, False if hiz else 0)
 
-    # final resolve: global min depth, then smallest id among the minima
-    zm = depth_acc[:]
+    # final resolve: global min depth, then smallest id among the minima.
+    # Non-hiz: the deferred division happens HERE — once per tile, not per
+    # chunk (winner slots hold (N, D) with D > 0; empty slots FAR/1).
+    zm = depth_acc[:] if hiz else depth_acc[:] / den_acc[:]
     zmin = jnp.min(zm, axis=0, keepdims=True)          # [1, pix]
     ids = jnp.where(zm == zmin, id_acc[:], BIG_ID)
     idw = jnp.min(ids, axis=0, keepdims=True)
@@ -215,6 +250,7 @@ def rasterize_vis_folded(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NCOL, chunk), jnp.float32),
+            pltpu.VMEM((chunk, pix), jnp.float32),
             pltpu.VMEM((chunk, pix), jnp.float32),
             pltpu.VMEM((chunk, pix), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -66,13 +66,23 @@ def rasterize_vis(setup: TriSetup, width, height, tri_chunk=256, y_origin=0):
         e = jnp.einsum("tij,hwi->thwj", adj_c, p)
         w_num = jnp.sum(e, axis=-1)                       # [T,H,W]
         z_plane = jnp.einsum("ti,hwi->thw", cz_c, p)      # screen-linear z_ndc
-        # high-precision: z0 + (e1*dz1 + e2*dz2)/sum(e)
-        z_hp = zv_c[:, 0, None, None] + (
-            e[..., 1] * zv_c[:, 1, None, None] + e[..., 2] * zv_c[:, 2, None, None]
-        ) / jnp.where(w_num == 0, 1e-20, w_num)
-        z = jnp.where(zm_c[:, None, None], z_hp, z_plane)
+        # high-precision depth as ONE rational N/D: N = z0*sum(e) + e1*dz1 +
+        # e2*dz2, D = sum(e).  Same value as z0 + (e1*dz1 + e2*dz2)/sum(e) to
+        # ~ulp, but phrased so the Pallas kernel can DEFER the division and
+        # depth-test rationally (N_a*D_b < N_b*D_a) — this file must use the
+        # exact same op order so pallas-vs-xla parity stays bitwise.
+        num = (e[..., 1] * zv_c[:, 1, None, None]
+               + e[..., 2] * zv_c[:, 2, None, None])
+        n_hp = zv_c[:, 0, None, None] * w_num + num
+        vert = zm_c[:, None, None]
+        n_sel = jnp.where(vert, n_hp, z_plane)
+        d_sel = jnp.where(vert, w_num, 1.0)
         covered = jnp.all(e >= 0.0, axis=-1) & (w_num > 0.0) & valid_c[:, None, None]
-        z = jnp.where(covered & (z >= 0.0) & (z <= 1.0), z, FAR_DEPTH)
+        # depth range test PRE-division (n in [0, d]; d > 0 under coverage) —
+        # bitwise the test the kernel applies to its rational accumulators
+        covered &= (n_sel >= 0.0) & (n_sel <= d_sel)
+        z = n_sel / jnp.where(d_sel == 0, 1e-20, d_sel)
+        z = jnp.where(covered, z, FAR_DEPTH)
         # nearest among this chunk
         zmin = jnp.min(z, axis=0)
         arg = jnp.argmin(z, axis=0).astype(jnp.int32) + base_id
