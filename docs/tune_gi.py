@@ -59,6 +59,38 @@ VARIANTS = {
                        gi_fast_hit_steps_spec=16,
                        gi_fast_hit_step_scale_spec=1.0,
                        gi_fast_probe_level=0),
+    # wave-14 screen-term upgrades (reference textureLod mip + edge fallback)
+    "mip1": dict(gi_fast_probe_dist_mip=1.0),
+    "mip2": dict(gi_fast_probe_dist_mip=2.0),
+    "mip05": dict(gi_fast_probe_dist_mip=0.5),
+    "edge": dict(gi_fast_edge_fallback=True),
+    "mip1_edge": dict(gi_fast_probe_dist_mip=1.0, gi_fast_edge_fallback=True),
+    "mip1_edge_p5": dict(gi_fast_probe_dist_mip=1.0,
+                         gi_fast_edge_fallback=True, gi_fast_probe_points=5),
+    "edge_p5": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5),
+    "edge_p7": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=7),
+    "mip2_edge_p5": dict(gi_fast_probe_dist_mip=2.0,
+                         gi_fast_edge_fallback=True, gi_fast_probe_points=5),
+    "edge_p5_sk4": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4),
+    "mip1_edge_p5_m2": dict(gi_fast_probe_dist_mip=1.0,
+                            gi_fast_edge_fallback=True,
+                            gi_fast_probe_points=5,
+                            gi_fast_probe_margin=2e-4),
+    # sweep 3: solidity + step combos on top of edge_p5_sk4 (0.9351)
+    "e5s4": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                 gi_fast_skip_steps=4),
+    "e5s4_solid1": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4, gi_fast_probe_solid_taps=1),
+    "e5s4_solid3": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4, gi_fast_probe_solid_taps=3),
+    "e7s4": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=7,
+                 gi_fast_skip_steps=4),
+    "e5s4_ref16": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                       gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                       gi_fast_hit_step_scale=0.5),
+    "e5s4_l0": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                    gi_fast_skip_steps=4, gi_fast_probe_level=0),
     # refinements on top of the trilinear fog default
     "tri_ref": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
                     gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,

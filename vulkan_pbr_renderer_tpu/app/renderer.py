@@ -315,6 +315,7 @@ def render_frame(
             cam.clip_from_world, old_clip_from_world, cfg.alpha_test_threshold,
             world_from_clip=cam.world_from_clip, jitter=jitter,
             material_filter=cfg.material_filter,
+            frame_idx_mod_59=(frame_idx % 59).astype(jnp.float32),
         )
 
     # ---- pass 5: lighting ------------------------------------------------

@@ -90,6 +90,20 @@ class RenderConfig:
                                            # segment (gi.screen_probe_multi) —
                                            # catches rays dipping behind
                                            # geometry mid-path (lamp halos)
+    gi_fast_probe_dist_mip: float = 0.0    # >0: probe resolves sample the
+                                           # prev pyramid at level ~=
+                                           # dist_world * this (reference:
+                                           # textureLod mip min(step*5, 5),
+                                           # glsl:377 — far resolves soft);
+                                           # 0 = fixed gi_fast_probe_level
+    gi_fast_edge_fallback: bool = False    # probes leaving the screen fall
+                                           # back to a 2.5-voxel camera-ward
+                                           # lightgrid sample (glsl:324-331)
+    gi_fast_probe_solid_taps: int = 0      # >0: require the occluder to be
+                                           # voxel-solid before resolving
+                                           # (glsl:348-363 does 3 taps >=1.5;
+                                           # 1 = midpoint economy), costs
+                                           # k_points*taps alpha rows
     # round-3 march-structured fast GI (gi.sample_radiance_march): reproduces
     # the reference march's termination + fog-average structure on the cheap
     # alpha rows (the round-2 quadrature plateaued at SSIM 0.87, below even
@@ -196,7 +210,14 @@ class RenderConfig:
     # 'trilinear' = the reference's fixed-function mip filtering
     # (gpu_vulkan.c:613-634), 2 gather rows/px; 'nearest' = 1 row (the
     # round-1/2 economy; a documented VISUAL_PARITY.md delta)
-    material_filter: str = "trilinear"
+    material_filter: str = "stochastic"     # mip-dithered 1-row unbiased
+                                           # estimator of trilinear, TAA-
+                                           # integrated (gbuffer.py rationale;
+                                           # -12.9 ms/frame vs 'trilinear'
+                                           # at 1920x1088); 'trilinear' = the
+                                           # exact 2-row fixed-function lerp
+                                           # (gpu_vulkan.c:613-634),
+                                           # 'nearest' = 1-row economy
 
     # --- rasterizer (TPU-native; no reference equivalent) -----------------
     raster_kernel: str = "folded"          # 'folded' (v2, visibility_v2.py) or

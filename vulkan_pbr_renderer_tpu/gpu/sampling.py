@@ -508,6 +508,49 @@ def sample_bilinear_window(wtex, base_h, base_w, uv, channels, mode="clamp"):
     return top + (bot - top) * fy
 
 
+def sample_screen_atlas_window(watlas, base_h, base_w, levels, uv, level,
+                               channels):
+    """Bilinear sample at a PER-LANE pyramid level from a window-packed
+    screen mip atlas — ONE gather row.
+
+    watlas: window_pack(atlas, 2, 2) of a [base_h, Wa, C] screen mip atlas
+    (level k of size (base_h>>k, base_w>>k) at column mip_offsets[k] — the
+    layout of the prev-frame pyramid / build_hiz_atlas).  level [...] int
+    per lane.  The 2x2 base index is clamped one texel short of each level's
+    edge so the window never reads the neighbouring level; the fractional
+    weight is re-derived against the clamped base (pure-edge-texel results
+    at the border, CLAMP semantics).
+
+    Matches the reference's textureLod(PREV_FRAME_RESULT, uv, mip)
+    (lighting_pass.glsl:377) at nearest-mip."""
+    offs_list, wa = mip_offsets(base_h, base_w, levels)
+    offs = jnp.asarray(offs_list, jnp.int32)
+    lv = jnp.clip(jnp.asarray(level, jnp.int32), 0, levels - 1)
+    ls_h = jnp.maximum(jnp.right_shift(jnp.int32(base_h), lv), 1)
+    ls_w = jnp.maximum(jnp.right_shift(jnp.int32(base_w), lv), 1)
+    off = jnp.take(offs, lv)
+    x = uv[..., 0] * ls_w - 0.5
+    y = uv[..., 1] * ls_h - 0.5
+    ix = jnp.clip(jnp.floor(x).astype(jnp.int32), 0,
+                  jnp.maximum(ls_w - 2, 0))
+    iy = jnp.clip(jnp.floor(y).astype(jnp.int32), 0,
+                  jnp.maximum(ls_h - 2, 0))
+    fx = jnp.clip(x - ix, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - iy, 0.0, 1.0)[..., None]
+    flat = watlas.reshape(watlas.shape[0] * watlas.shape[1], -1)
+    row = take_rows(flat, iy * watlas.shape[1] + off + ix)
+    if row.dtype != jnp.float32:
+        row = row.astype(jnp.float32)
+    c = channels
+    t00 = row[..., 0 * c : 1 * c]
+    t10 = row[..., 1 * c : 2 * c]
+    t01 = row[..., 2 * c : 3 * c]
+    t11 = row[..., 3 * c : 4 * c]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
 def pack_depth_window_u16(depth):
     """[S,S] f32 depth in [0,1] -> 2x2-window pack stored as uint16
     ([S,S,4], 8-byte gather rows, S=2048 -> 33 MB).

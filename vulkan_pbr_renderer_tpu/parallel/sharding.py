@@ -295,6 +295,7 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
             cfg.alpha_test_threshold, row_offset=y0,
             world_from_clip=cam.world_from_clip, jitter=fi.jitter,
             full_size=(h, w), material_filter=cfg.material_filter,
+            frame_idx_mod_59=(frame_idx % 59).astype(jnp.float32),
         )
         depth_full = jax.lax.all_gather(gbuf.depth, "sp", axis=0, tiled=True)
 

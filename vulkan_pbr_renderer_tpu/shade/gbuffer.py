@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..gpu import sampling
 from ..raster.setup import TriSetup
 from ..utils import math3d as m3
+from ..utils import noise as noiselib
 
 
 class GBuffer(NamedTuple):
@@ -132,6 +133,7 @@ def gbuffer_pass(
     jitter=None,
     full_size=None,
     material_filter="nearest",
+    frame_idx_mod_59=None,
 ):
     """Assemble the G-buffer.  All inputs are device arrays; fully jit-safe.
 
@@ -242,13 +244,29 @@ def gbuffer_pass(
 
     # material fetch from the uint8 window atlas.  "trilinear" matches the
     # reference's fixed-function samplers (gpu_vulkan.c:613-634) at TWO
-    # 48-byte gather rows per pixel; "nearest" (GL *_MIPMAP_NEAREST) is the
-    # 1-row economy mode (was 2x192B f32 rows — the single largest op of the
-    # round-1 frame, 277 ms; docs/PERF_NOTES.md)
-    sampler = (sampling.sample_mip_atlas_array_window_trilinear
-               if material_filter == "trilinear"
-               else sampling.sample_mip_atlas_array_window_nearest)
-    texel = sampler(scene.tex_packed, mat, uv, lod, 12, scale=scene.tex_scale)
+    # 48-byte gather rows per pixel; "stochastic" is the TAA-era shape of the
+    # same filter at ONE row: the mip level is dithered by IGN frame noise
+    # (round(lod + u - 0.5), u uniform in [0,1)) so the nearest-mip fetch is
+    # an UNBIASED estimator of the trilinear lerp — P(level = floor(lod)) =
+    # 1 - frac(lod) — and TAA integrates it to the trilinear mean (the same
+    # amortization the GI march dithers already lean on).  Measured: each
+    # 48-byte row fetch costs 12.9 ms/frame at 1920x1088 (hlo_stats r3
+    # wave 12), so stochastic halves the material cost of "trilinear".
+    # "nearest" (GL *_MIPMAP_NEAREST) is the round-1/2 economy mode (was
+    # 2x192B f32 rows — the single largest op of the round-1 frame, 277 ms).
+    if material_filter == "stochastic" and frame_idx_mod_59 is not None:
+        u = noiselib.frame_noise(px + 0.5, py + 0.5, frame_idx_mod_59,
+                                 offset=(71.0, 13.0))
+        texel = sampling.sample_mip_atlas_array_window_nearest(
+            scene.tex_packed, mat, uv, lod + (u - 0.5), 12,
+            scale=scene.tex_scale,
+        )
+    else:
+        sampler = (sampling.sample_mip_atlas_array_window_trilinear
+                   if material_filter == "trilinear"
+                   else sampling.sample_mip_atlas_array_window_nearest)
+        texel = sampler(scene.tex_packed, mat, uv, lod, 12,
+                        scale=scene.tex_scale)
     base_color = texel[..., 0:4]
     nrm_xy = texel[..., 4:6]
     orm = texel[..., 6:9]

@@ -234,9 +234,15 @@ def voxelize_scene(
     emissive = texel[..., 9:12]
 
     # 1-tap shadow with (+1,+1) texel offset and z bias (voxelize glsl:104-110)
+    # through the u16 2x2 window pack: ONE 8-byte gather row per sample vs the
+    # raw-depth bilinear compare's four scalar gathers (4 x 3.74 ms per sun
+    # change at 1M samples, hlo_stats r3 wave 12); u16 quantization is far
+    # below the 1e-3 z bias (pack_depth_window_u16 rationale)
     p_sun = m3.transform_points(sun_space_from_world, pos)[..., :3]
     uv_sun = p_sun[..., :2] * 0.5 + 0.5 + 1.0 / sun_depth.shape[0]
-    shadow = sampling.sample_depth_compare(sun_depth, uv_sun, p_sun[..., 2] - 0.001)
+    wdepth = sampling.pack_depth_window_u16(sun_depth)
+    shadow = sampling.sample_depth_compare_window(
+        wdepth, sun_depth.shape[0], uv_sun, p_sun[..., 2] - 0.001)
 
     l = -sun_dir
     ldotn = jnp.maximum(jnp.sum(sample_normal * l, -1), 0.0)
@@ -766,7 +772,10 @@ def march_to_hit(alpha_grid, ro, rd, steps, thresh=0.3):
 
 def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
                        clip_from_world, depth_tex, wprev, prev_hw,
-                       ss_intensity, z_margin=2e-4, k_points=3):
+                       ss_intensity, z_margin=2e-4, k_points=3,
+                       prev_levels=0, dist_mip=0.0, want_offscreen=False,
+                       solid_taps=0, alpha_grid=None, world_from_clip=None,
+                       noise=None):
     """K-point screen probe: test k/K points along the surface->first-open
     segment (the reference march's trajectory, lighting_pass.glsl:315-384)
     and resolve the prev frame at the FIRST one behind visible geometry.
@@ -776,13 +785,27 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
     reference residual (lamp halos, docs/tune_gi.py region diffs).  Each extra
     point costs ONE depth row (the [H,W] f32 depth table is ~8 MB — the fast
     end of the gather-rate curve); the prev-frame row is fetched once at the
-    selected uv.  Returns (hit mask, rgb)."""
+    selected uv.  Returns (hit mask, rgb[, first_offscreen]).
+
+    dist_mip > 0 (with prev_levels set): wprev is the window pack of the
+    WHOLE prev pyramid atlas and the resolve level grows with the world-space
+    distance to the resolved probe — the reference samples PREV_FRAME_RESULT
+    at textureLod mip min(step_length*5, 5) (lighting_pass.glsl:377), so far
+    resolves are a soft wide average (the pillar-forest glow) rather than a
+    sharp half-res tap.  level = clip(round(dist_world * dist_mip), 0, L-1).
+    want_offscreen: also return the mask of rays whose FIRST probe leaving
+    the screen precedes any hit — the reference falls back to a near-surface
+    lightgrid sample there (glsl:324-331) instead of continuing."""
     from ..utils import math3d as m3
 
     d = ro_grid_ndc
     seg = open_grid_ndc - ro_grid_ndc
+    seg_world = jnp.linalg.norm(seg, axis=-1) / jnp.maximum(lightgrid_scale,
+                                                            1e-8)
     best_hit = jnp.zeros(d.shape[:-1], bool)
+    first_off = jnp.zeros(d.shape[:-1], bool)
     best_uv = jnp.zeros(d.shape[:-1] + (2,), jnp.float32)
+    best_t = jnp.zeros(d.shape[:-1], jnp.float32)
     for k in range(1, k_points + 1):
         p = ro_grid_ndc + seg * (k / k_points)
         p4 = m3.transform_points(clip_from_world, p / lightgrid_scale)
@@ -791,13 +814,47 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
                                       w[..., None])
         uv = ndc[..., :2] * 0.5 + 0.5
         onscreen = (w > 0.0) & jnp.all(jnp.abs(ndc[..., :2]) < 1.0, axis=-1)
+        first_off = first_off | (~onscreen & ~best_hit)
         d_scene = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
-        hit_k = onscreen & (ndc[..., 2] > d_scene + z_margin) & (d_scene < 1.0)
+        # an off-screen probe is terminal (the reference falls back the step
+        # its trace leaves the screen, glsl:322-331) — no later-k hits
+        hit_k = (onscreen & ~first_off
+                 & (ndc[..., 2] > d_scene + z_margin) & (d_scene < 1.0))
+        if solid_taps > 0:
+            # the reference resolves only when the occluder is voxel-SOLID
+            # between the visible surface and the ray point (3 lightgrid
+            # alpha taps >= 1.5, glsl:348-363) — a thin occluder (column in
+            # front of the ray) skips instead of resolving the wrong surface.
+            # solid_taps=1 is the single midpoint economy form.
+            surf4 = m3.transform_points(
+                world_from_clip,
+                jnp.concatenate([ndc[..., :2], d_scene[..., None]], -1),
+            )
+            surf_g = (surf4[..., :3] / jnp.where(
+                jnp.abs(surf4[..., 3:4]) < 1e-8, 1e-8, surf4[..., 3:4]
+            )) * lightgrid_scale
+            n0 = (noise * 0.2) if noise is not None else 0.0
+            asum = 0.0
+            for t in range(1, solid_taps + 1):
+                frac = n0 + t / (solid_taps + 1.0)
+                pos = surf_g + (p - surf_g) * (frac[..., None]
+                                               if jnp.ndim(frac) else frac)
+                asum = asum + _sample_alpha_u16(alpha_grid, pos)
+            hit_k = hit_k & (asum >= 0.5 * solid_taps)
         newly = hit_k & ~best_hit
         best_uv = jnp.where(newly[..., None], uv, best_uv)
+        best_t = jnp.where(newly, k / k_points, best_t)
         best_hit = best_hit | hit_k
-    prev = sampling.sample_bilinear_window(wprev, prev_hw[0], prev_hw[1],
-                                           best_uv, 3)
+    if dist_mip > 0.0 and prev_levels > 0:
+        lv = jnp.round(seg_world * best_t * dist_mip).astype(jnp.int32)
+        prev = sampling.sample_screen_atlas_window(
+            wprev, prev_hw[0], prev_hw[1], prev_levels, best_uv, lv, 3
+        )
+    else:
+        prev = sampling.sample_bilinear_window(wprev, prev_hw[0], prev_hw[1],
+                                               best_uv, 3)
+    if want_offscreen:
+        return best_hit, prev * ss_intensity, first_off & ~best_hit
     return best_hit, prev * ss_intensity
 
 

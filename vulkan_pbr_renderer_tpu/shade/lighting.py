@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..gpu import sampling
+from ..utils import color as colorlib
 from ..utils import math3d as m3
 from ..utils import noise as noiselib
 from . import brdf, gi, shadow
@@ -280,16 +281,33 @@ def lighting_pass(
             sample_spread=cfg.gi_fast_sample_spread,
             alpha_grid=walpha,
         )
+        dist_mip = cfg.gi_fast_probe_dist_mip
         if cfg.gi_mode == "fast" and cfg.gi_fast_screen_probe:
-            # reduced-res prev-frame level for the screen probe: one bilinear
-            # window row per probe (gi.screen_probe rationale); level 0 =
-            # half res (sharper reflections), 1 = quarter res
-            lv = cfg.gi_fast_probe_level
-            offs, _ = sampling.mip_offsets(fh // 2, w // 2,
-                                           cfg.bloom_pass_count)
-            plh, plw = fh // (2 << lv), w // (2 << lv)
-            prev_lvl = res.prev_frame_atlas[:plh, offs[lv]:offs[lv] + plw]
-            wprev = sampling.window_pack(prev_lvl, 2, 2, dtype=jnp.float16)
+            if dist_mip > 0.0:
+                # window pack of the WHOLE prev pyramid atlas: march probes
+                # resolve at a distance-scaled level (the reference's
+                # textureLod(PREV_FRAME_RESULT, uv, min(step*5, 5)),
+                # glsl:377 — far resolves are a soft wide average)
+                plh, plw = fh // 2, w // 2
+                wprev = sampling.window_pack(
+                    res.prev_frame_atlas.astype(jnp.float32), 2, 2,
+                    dtype=jnp.float16,
+                )
+            else:
+                # reduced-res prev-frame level for the screen probe: one
+                # bilinear window row per probe (gi.screen_probe rationale);
+                # level 0 = half res (sharper reflections), 1 = quarter res
+                lv = cfg.gi_fast_probe_level
+                offs, _ = sampling.mip_offsets(fh // 2, w // 2,
+                                               cfg.bloom_pass_count)
+                plh, plw = fh // (2 << lv), w // (2 << lv)
+                prev_lvl = res.prev_frame_atlas[:plh, offs[lv]:offs[lv] + plw]
+                wprev = sampling.window_pack(prev_lvl, 2, 2,
+                                             dtype=jnp.float16)
+            probe_mip_kw = (
+                dict(prev_levels=cfg.bloom_pass_count, dist_mip=dist_mip)
+                if dist_mip > 0.0 else {}
+            )
 
             def probe(ro_open, ss_intensity, ro0=None):
                 if cfg.gi_fast_probe_points > 1 and ro0 is not None:
@@ -297,7 +315,7 @@ def lighting_pass(
                         ro0, ro_open, cfg.lightgrid_scale,
                         glob.clip_from_world, trace_depth, wprev, (plh, plw),
                         ss_intensity, z_margin=cfg.gi_fast_probe_margin,
-                        k_points=cfg.gi_fast_probe_points,
+                        k_points=cfg.gi_fast_probe_points, **probe_mip_kw,
                     )
                 return gi.screen_probe(
                     ro_open, cfg.lightgrid_scale, glob.clip_from_world,
@@ -373,13 +391,32 @@ def lighting_pass(
                             zview_nf=(cfg.z_near, cfg.z_far),
                         )
                     else:
-                        res_m, ss_rgb = gi.screen_probe_multi(
+                        res_m, ss_rgb, off_m = gi.screen_probe_multi(
                             pw * cfg.lightgrid_scale, ro_open,
                             cfg.lightgrid_scale, glob.clip_from_world,
                             depth_half, wprev, (plh, plw), ss_intensity,
                             z_margin=cfg.gi_fast_probe_margin,
                             k_points=cfg.gi_fast_probe_points,
+                            want_offscreen=True,
+                            solid_taps=cfg.gi_fast_probe_solid_taps,
+                            alpha_grid=walpha,
+                            world_from_clip=glob.world_from_clip,
+                            noise=noise, **probe_mip_kw,
                         )
+                        if cfg.gi_fast_edge_fallback:
+                            # trace left the screen before any hit: the
+                            # reference samples the lightgrid 2.5 voxels
+                            # toward the camera, tone-compressed, and stops
+                            # (glsl:324-331) — without this the screen-edge
+                            # pixels keep the fog result the reference never
+                            # computes there
+                            v_cam = m3.normalize(glob.camera_pos - pw)
+                            fb_pos = (pw * cfg.lightgrid_scale
+                                      + v_cam * (2.5 * 2.0
+                                                 / cfg.lightgrid_size))
+                            fb = gi.grid_sample(wgrid, fb_pos)[..., :3]
+                            fb = colorlib.tone_compress_sqrt(fb)
+                            rgb = jnp.where(off_m[..., None], fb, rgb)
                     rgb = jnp.where(res_m[..., None], ss_rgb, rgb)
                 return rgb
 
