@@ -99,11 +99,23 @@ def main():
     float(means[-1])
     print(f"# compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    # Per-rep anti-memoization: nudge the CAMERA path, not the sun — a sun
+    # nudge re-triggers voxelize + the sun-shadow raster (~90 ms once per
+    # rep ≈ +11 ms/frame), cost the reference only pays when the sun MOVES
+    # (render.cpp: revoxelize = frame_idx == 0 || sun_angle != prev_frame).
     reps = 2
+
+    def cam_batch_at(shift):
+        cs = [make_camera(*suntemple.camera_path(
+            (i + shift) / max(frames - 1, 1)), cfg) for i in range(frames)]
+        return CameraState(*[
+            jnp.stack([getattr(c, f) for c in cs]) for f in CameraState._fields
+        ])
+
+    rep_batches = [cam_batch_at(0.003 * (k + 1)) for k in range(reps)]
     t0 = time.perf_counter()
     for k in range(reps):
-        # nudge the sun per rep so the tunnel platform cannot memoize the call
-        state, _, means = render_n(state, cam_batch, sun + 0.001 * (k + 1),
+        state, _, means = render_n(state, rep_batches[k], sun,
                                    r.prefiltered_env, r.brdf_lut)
         float(means[-1])
     ms = (time.perf_counter() - t0) / (reps * frames) * 1000.0
@@ -150,18 +162,23 @@ def main():
             ])
 
         for i, t in enumerate(points):
+            # two byte-distinct camera batches per point (anti-memoization;
+            # ~4e-6 of the camera path apart — visually identical, and BOTH
+            # modes see the same pair so the SSIM compares matched frames);
+            # sun fixed, so the timed second call pays no voxelize — matching
+            # the reference's revoxelize-on-sun-change rule (render.cpp)
             cam_q = settle_batch(t)
+            cam_q2 = settle_batch(t + 1e-6)
             imgs = {}
             for mode, fn, rend in (("fast", render_n, r),
                                    ("reference", render_ref_n, rr)):
                 st = init_frame_state(rcfg)
-                # two scan calls = 2*frames settle frames (sun nudged per call
-                # against the tunnel's byte-identical-call memoization)
-                st, _, mm = fn(st, cam_q, sun + 0.0001 * i,
+                # two scan calls = 2*frames settle frames
+                st, _, mm = fn(st, cam_q, sun,
                                rend.prefiltered_env, rend.brdf_lut)
                 float(mm[-1])
                 t0 = time.perf_counter()
-                st, img, mm = fn(st, cam_q, sun + 0.0001 * i + 0.00003,
+                st, img, mm = fn(st, cam_q2, sun,
                                  rend.prefiltered_env, rend.brdf_lut)
                 float(mm[-1])
                 if mode == "reference":

@@ -91,6 +91,46 @@ VARIANTS = {
                        gi_fast_hit_step_scale=0.5),
     "e5s4_l0": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
                     gi_fast_skip_steps=4, gi_fast_probe_level=0),
+    # sweep 4 (wave 14): reference-exact jitter (2x the march step,
+    # glsl:406-410) + full-res probe depth, on top of e5s4_ref16 (0.9367)
+    "e5r16": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                  gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                  gi_fast_hit_step_scale=0.5),
+    "e5r16_j2": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                     gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                     gi_fast_hit_step_scale=0.5, gi_fast_jitter_scale=2.0),
+    "e5r16_pfd": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                      gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                      gi_fast_hit_step_scale=0.5,
+                      gi_fast_probe_fullres_depth=True),
+    "e5r16_j2pfd": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                        gi_fast_hit_step_scale=0.5,
+                        gi_fast_jitter_scale=2.0,
+                        gi_fast_probe_fullres_depth=True),
+    "e7r16_j2pfd": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=7,
+                        gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                        gi_fast_hit_step_scale=0.5,
+                        gi_fast_jitter_scale=2.0,
+                        gi_fast_probe_fullres_depth=True),
+    "e5r16_j2_solid1": dict(gi_fast_edge_fallback=True,
+                            gi_fast_probe_points=5, gi_fast_skip_steps=4,
+                            gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
+                            gi_fast_jitter_scale=2.0,
+                            gi_fast_probe_solid_taps=1),
+    # sweep 5: probe spacing gamma (geometric density toward the surface)
+    "e5r16_j2_g15": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0, gi_fast_probe_gamma=1.5),
+    "e5r16_j2_g2": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                        gi_fast_hit_step_scale=0.5,
+                        gi_fast_jitter_scale=2.0, gi_fast_probe_gamma=2.0),
+    "e5r16_j2_g07": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0, gi_fast_probe_gamma=0.7),
     # refinements on top of the trilinear fog default
     "tri_ref": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
                     gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
@@ -171,6 +211,8 @@ def main():
     ap.add_argument("--diff", action="store_true")
     ap.add_argument("--time", action="store_true",
                     help="also time each variant (8-frame in-device scan)")
+    ap.add_argument("--ceiling", action="store_true",
+                    help="measure the reference-vs-reference SSIM noise floor")
     args = ap.parse_args()
 
     import jax
@@ -199,6 +241,15 @@ def main():
     for t in points:
         refs[t] = settled(cfg.replace(gi_mode="reference"), t)
         print(f"# reference frame t={t} done", file=sys.stderr)
+
+    if args.ceiling:
+        # SSIM noise floor: the reference path vs ITSELF at a 1e-6 camera
+        # nudge (byte-distinct inputs, visually identical).  Fast-GI SSIM
+        # can't beat this — TAA-integrated jitter/noise isn't bit-stable.
+        for t in points:
+            img2 = settled(cfg.replace(gi_mode="reference"), t + 1e-6)
+            s = float(image.ssim(img2, refs[t]))
+            print(f"ceiling ref-vs-ref t={t}: ssim={s:.4f}")
 
     for name in args.variants.split(","):
         kw = dict(VARIANTS[name])

@@ -154,6 +154,25 @@ class RenderConfig:
                                            # alpha at the hit is below this
                                            # (glsl:348-356); 0 = off (see
                                            # gi.screen_trace_hiz rationale)
+    gi_fast_jitter_scale: float = 1.0      # march-start jitter in units of the
+                                           # march step.  The reference jitters
+                                           # by the PRE-halving step (ro +=
+                                           # rd*noise before the 0.5*rd steps,
+                                           # lighting_pass.glsl:399-407), i.e.
+                                           # 2.0 in our parameterization
+    gi_fast_probe_gamma: float = 1.0       # probe-point spacing exponent:
+                                           # fractions (k/K)^gamma along the
+                                           # surface->open segment; >1 packs
+                                           # points toward the surface like
+                                           # the reference's 1.2x-growing
+                                           # trace steps (glsl:333-334)
+    gi_fast_probe_fullres_depth: bool = False  # screen probes depth-test the
+                                           # full-res depth (8 MB table)
+                                           # instead of the conservative
+                                           # min-2x2 half-res reduction —
+                                           # min-depth moves surfaces NEARER,
+                                           # inflating "behind geometry" hits
+                                           # at silhouettes (false resolves)
     gi_fast_hit_steps: int = 8             # diffuse: march steps to the stop
     gi_fast_hit_step_scale: float = 1.0    # x voxel; 8x1 vs the ref's
                                            # 12 steps x 0.5 voxel coverage

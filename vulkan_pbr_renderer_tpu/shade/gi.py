@@ -376,7 +376,7 @@ def _sample_nearest_grid(fgrid, ro):
 def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
                         skip_steps=4, open_thresh=0.3, march_steps=8,
                         hit_thresh=0.3, step_scale=1.0, foggyness=0.5,
-                        noise=None, trilinear_grid=None):
+                        noise=None, trilinear_grid=None, jitter_scale=1.0):
     """Reference-structured fast GI: the EXACT phase A + phase C march of
     SampleRadianceWithScreenSpaceTrace (lighting_pass.glsl:280-288, 399-423)
     on an 8-byte nearest-sampled rgba grid (pack_grid_f16_nearest).
@@ -434,7 +434,11 @@ def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
         [seed, found[..., None].astype(jnp.float32)], -1
     ).at[..., 3].add(1e-4)
     rdm = rd * step_scale
-    ro_m0 = ro_open if noise is None else ro_open + rdm * noise[..., None]
+    # jitter_scale=2 matches the reference exactly: it jitters by the
+    # PRE-halving step (ro += rd*noise, then marches 0.5*rd steps,
+    # lighting_pass.glsl:399-407) — twice our march step
+    ro_m0 = (ro_open if noise is None
+             else ro_open + rdm * (jitter_scale * noise[..., None]))
     fog = (foggyness[..., None] if jnp.ndim(foggyness) else
            jnp.asarray(foggyness, jnp.float32))
     hit0 = jnp.zeros(ro.shape[:-1], bool)
@@ -775,7 +779,7 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
                        ss_intensity, z_margin=2e-4, k_points=3,
                        prev_levels=0, dist_mip=0.0, want_offscreen=False,
                        solid_taps=0, alpha_grid=None, world_from_clip=None,
-                       noise=None):
+                       noise=None, spacing_gamma=1.0):
     """K-point screen probe: test k/K points along the surface->first-open
     segment (the reference march's trajectory, lighting_pass.glsl:315-384)
     and resolve the prev frame at the FIRST one behind visible geometry.
@@ -807,7 +811,11 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
     best_uv = jnp.zeros(d.shape[:-1] + (2,), jnp.float32)
     best_t = jnp.zeros(d.shape[:-1], jnp.float32)
     for k in range(1, k_points + 1):
-        p = ro_grid_ndc + seg * (k / k_points)
+        # spacing_gamma > 1 biases the probe points toward the surface — the
+        # reference trace's step grows 1.2x per step (glsl:333-334), so its
+        # effective test density is geometric, densest at the ray start
+        frac = (k / k_points) ** spacing_gamma
+        p = ro_grid_ndc + seg * frac
         p4 = m3.transform_points(clip_from_world, p / lightgrid_scale)
         w = p4[..., 3]
         ndc = p4[..., :3] / jnp.where(jnp.abs(w[..., None]) < 1e-8, 1e-8,
@@ -843,7 +851,7 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
             hit_k = hit_k & (asum >= 0.5 * solid_taps)
         newly = hit_k & ~best_hit
         best_uv = jnp.where(newly[..., None], uv, best_uv)
-        best_t = jnp.where(newly, k / k_points, best_t)
+        best_t = jnp.where(newly, frac, best_t)
         best_hit = best_hit | hit_k
     if dist_mip > 0.0 and prev_levels > 0:
         lv = jnp.round(seg_world * best_t * dist_mip).astype(jnp.int32)

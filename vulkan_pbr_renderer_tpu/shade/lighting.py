@@ -363,6 +363,7 @@ def lighting_pass(
                         noise=noise, foggyness=foggyness,
                         trilinear_grid=(wgrid if cfg.gi_fast_fog_trilinear
                                         else None),
+                        jitter_scale=cfg.gi_fast_jitter_scale,
                     )
                 else:
                     rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_march(
@@ -394,10 +395,13 @@ def lighting_pass(
                         res_m, ss_rgb, off_m = gi.screen_probe_multi(
                             pw * cfg.lightgrid_scale, ro_open,
                             cfg.lightgrid_scale, glob.clip_from_world,
-                            depth_half, wprev, (plh, plw), ss_intensity,
+                            (trace_depth if cfg.gi_fast_probe_fullres_depth
+                             else depth_half),
+                            wprev, (plh, plw), ss_intensity,
                             z_margin=cfg.gi_fast_probe_margin,
                             k_points=cfg.gi_fast_probe_points,
                             want_offscreen=True,
+                            spacing_gamma=cfg.gi_fast_probe_gamma,
                             solid_taps=cfg.gi_fast_probe_solid_taps,
                             alpha_grid=walpha,
                             world_from_clip=glob.world_from_clip,
