@@ -131,6 +131,97 @@ VARIANTS = {
                          gi_fast_skip_steps=4, gi_fast_hit_steps=12,
                          gi_fast_hit_step_scale=0.5,
                          gi_fast_jitter_scale=2.0, gi_fast_probe_gamma=0.7),
+    # sweep 6: noise-dithered probe points (soft TAA-averaged boundaries)
+    "e5r16_j2_pj1": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0, gi_fast_probe_jitter=1.0),
+    "e5r16_j2_pj2": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0, gi_fast_probe_jitter=2.0),
+    # sweep 7: geometric probe schedule (the trace's own density profile)
+    "e5r16_j2_gr2": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0, gi_fast_probe_growth=2.0),
+    "e5r16_j2_gr3": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0, gi_fast_probe_growth=3.0),
+    "e5r16_j2_gr2_pj1": dict(gi_fast_edge_fallback=True,
+                             gi_fast_probe_points=5, gi_fast_skip_steps=4,
+                             gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
+                             gi_fast_jitter_scale=2.0,
+                             gi_fast_probe_growth=2.0,
+                             gi_fast_probe_jitter=1.0),
+    "e7r16_j2_gr2_pj1": dict(gi_fast_edge_fallback=True,
+                             gi_fast_probe_points=7, gi_fast_skip_steps=4,
+                             gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
+                             gi_fast_jitter_scale=2.0,
+                             gi_fast_probe_growth=2.0,
+                             gi_fast_probe_jitter=1.0),
+    # sweep 8: trace-range overshoot |to_open|/|to_open.xy| (glsl:302,308)
+    "e5r16_j2_ov4": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0,
+                         gi_fast_probe_overshoot=4.0),
+    "e5r16_j2_ov8": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                         gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                         gi_fast_hit_step_scale=0.5,
+                         gi_fast_jitter_scale=2.0,
+                         gi_fast_probe_overshoot=8.0),
+    "e5r16_j2_ov4_gr2": dict(gi_fast_edge_fallback=True,
+                             gi_fast_probe_points=5, gi_fast_skip_steps=4,
+                             gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
+                             gi_fast_jitter_scale=2.0,
+                             gi_fast_probe_overshoot=4.0,
+                             gi_fast_probe_growth=2.0),
+    "e5r16_j2_ov4_gr2_pj1": dict(gi_fast_edge_fallback=True,
+                                 gi_fast_probe_points=5,
+                                 gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                                 gi_fast_hit_step_scale=0.5,
+                                 gi_fast_jitter_scale=2.0,
+                                 gi_fast_probe_overshoot=4.0,
+                                 gi_fast_probe_growth=2.0,
+                                 gi_fast_probe_jitter=1.0),
+    "e5r16_j2_ov4_gr2_s1": dict(gi_fast_edge_fallback=True,
+                                gi_fast_probe_points=5,
+                                gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                                gi_fast_hit_step_scale=0.5,
+                                gi_fast_jitter_scale=2.0,
+                                gi_fast_probe_overshoot=4.0,
+                                gi_fast_probe_growth=2.0,
+                                gi_fast_probe_solid_taps=1),
+    # probe depth table at /4 (perf: 0.25 MB VMEM-fast vs 2 MB at 140 M/s)
+    "e5r16_j2_ov4_dd4": dict(gi_fast_edge_fallback=True,
+                             gi_fast_probe_points=5, gi_fast_skip_steps=4,
+                             gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,
+                             gi_fast_jitter_scale=2.0,
+                             gi_fast_probe_overshoot=4.0,
+                             gi_fast_probe_depth_div=4),
+    # final knob checks on the champion base
+    "e5r16_j2_m0": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                        gi_fast_hit_step_scale=0.5, gi_fast_jitter_scale=2.0,
+                        gi_fast_probe_margin=0.0),
+    "e5r16_j2_m2e4": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                          gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                          gi_fast_hit_step_scale=0.5,
+                          gi_fast_jitter_scale=2.0,
+                          gi_fast_probe_margin=2e-4),
+    "e5r16_j2_l0": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                        gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                        gi_fast_hit_step_scale=0.5, gi_fast_jitter_scale=2.0,
+                        gi_fast_probe_level=0),
+    # mip-lod prev resolve revisited on the e5r16_j2 base (the reference's
+    # textureLod(step_len*5) far-softening, glsl:377)
+    "e5r16_j2_mip1": dict(gi_fast_edge_fallback=True, gi_fast_probe_points=5,
+                          gi_fast_skip_steps=4, gi_fast_hit_steps=12,
+                          gi_fast_hit_step_scale=0.5,
+                          gi_fast_jitter_scale=2.0,
+                          gi_fast_probe_dist_mip=1.0),
     # refinements on top of the trilinear fog default
     "tri_ref": dict(gi_fast_fog_march=True, gi_fast_fog_trilinear=True,
                     gi_fast_hit_steps=12, gi_fast_hit_step_scale=0.5,

@@ -166,6 +166,31 @@ class RenderConfig:
                                            # points toward the surface like
                                            # the reference's 1.2x-growing
                                            # trace steps (glsl:333-334)
+    gi_fast_probe_overshoot: float = 0.0   # >0: extend the probed segment by
+                                           # the reference trace's own range
+                                           # factor |to_open|/|to_open.xy|
+                                           # (view space), clamped to this —
+                                           # ssray_dir is normalized by the XY
+                                           # length only (glsl:302), so view-
+                                           # aligned rays trace FAR past the
+                                           # open point and resolve distant
+                                           # geometry; 0 = probe only to open
+    gi_fast_probe_growth: float = 0.0      # >1: geometric probe fractions
+                                           # (g^k-1)/(g^K-1) — the reference
+                                           # trace's own density profile
+                                           # (steps grow 1.2x from ~z/100,
+                                           # glsl:301,333); 0 = use gamma
+    gi_fast_probe_jitter: float = 0.0      # noise-dither each probe fraction
+                                           # by +-jitter/K: soft TAA-averaged
+                                           # hit boundaries like the
+                                           # reference's noise-scaled trace
+                                           # start (glsl:301); 0 = off
+    gi_fast_probe_depth_div: int = 2       # probe z-test depth reduction: 2 =
+                                           # min-2x2 half res (2 MB table at
+                                           # ~140 M rows/s), 4 = min-4x4
+                                           # quarter res (0.25 MB, VMEM-fast
+                                           # 250+ M rows/s) — more
+                                           # conservative at silhouettes
     gi_fast_probe_fullres_depth: bool = False  # screen probes depth-test the
                                            # full-res depth (8 MB table)
                                            # instead of the conservative

@@ -779,7 +779,8 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
                        ss_intensity, z_margin=2e-4, k_points=3,
                        prev_levels=0, dist_mip=0.0, want_offscreen=False,
                        solid_taps=0, alpha_grid=None, world_from_clip=None,
-                       noise=None, spacing_gamma=1.0):
+                       noise=None, spacing_gamma=1.0, point_jitter=0.0,
+                       spacing_growth=0.0):
     """K-point screen probe: test k/K points along the surface->first-open
     segment (the reference march's trajectory, lighting_pass.glsl:315-384)
     and resolve the prev frame at the FIRST one behind visible geometry.
@@ -811,11 +812,27 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
     best_uv = jnp.zeros(d.shape[:-1] + (2,), jnp.float32)
     best_t = jnp.zeros(d.shape[:-1], jnp.float32)
     for k in range(1, k_points + 1):
-        # spacing_gamma > 1 biases the probe points toward the surface — the
-        # reference trace's step grows 1.2x per step (glsl:333-334), so its
-        # effective test density is geometric, densest at the ray start
-        frac = (k / k_points) ** spacing_gamma
-        p = ro_grid_ndc + seg * frac
+        # Probe-point schedules.  The reference trace's step starts at
+        # ~z_view/100 and grows 1.2x per step (glsl:301, 333-334): its test
+        # density is GEOMETRIC — centimeter-dense at the surface (it never
+        # straddles a thin bright emitter like the altar slab) yet still
+        # covering the whole segment.  spacing_growth=g replicates that:
+        # frac_k = (g^k - 1)/(g^K - 1).  spacing_gamma is the power-law
+        # alternative (distorts mid-range coverage; measured weaker).
+        # point_jitter noise-dithers each fraction by +-jitter/K: the
+        # reference's trace start is noise-scaled ((1+noise), glsl:301), so
+        # its hit boundaries are soft and TAA-integrated — deterministic
+        # probes give hard boundaries TAA cannot dither.
+        if spacing_growth > 1.0:
+            frac = (spacing_growth ** k - 1.0) / (
+                spacing_growth ** k_points - 1.0)
+        else:
+            frac = (k / k_points) ** spacing_gamma
+        if point_jitter > 0.0 and noise is not None:
+            frac = jnp.clip(
+                frac + (noise - 0.5) * (point_jitter / k_points), 0.0, 1.0
+            )
+        p = ro_grid_ndc + seg * (frac[..., None] if jnp.ndim(frac) else frac)
         p4 = m3.transform_points(clip_from_world, p / lightgrid_scale)
         w = p4[..., 3]
         ndc = p4[..., :3] / jnp.where(jnp.abs(w[..., None]) < 1e-8, 1e-8,

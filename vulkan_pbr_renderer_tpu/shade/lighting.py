@@ -338,10 +338,12 @@ def lighting_pass(
             # visible geometry" test (never fakes a hit a full-res ray
             # would miss... it can only move the surface nearer)
             th_, tw_ = trace_depth.shape
+            kdp = cfg.gi_fast_probe_depth_div
             depth_half = jax.lax.reduce_window(
                 trace_depth, jnp.float32(jnp.inf), jax.lax.min,
-                (2, 2), (2, 2), "valid",
-            ) if (th_ % 2 == 0 and tw_ % 2 == 0) else trace_depth[::2, ::2]
+                (kdp, kdp), (kdp, kdp), "valid",
+            ) if (th_ % kdp == 0 and tw_ % kdp == 0) else \
+                trace_depth[::kdp, ::kdp]
             if cfg.gi_fast_screen_probe and cfg.gi_fast_screen_mode == "hiz":
                 # one min-depth pyramid shared by the diffuse + specular
                 # traces (and, sharded, identical on every shard — built from
@@ -392,8 +394,23 @@ def lighting_pass(
                             zview_nf=(cfg.z_near, cfg.z_far),
                         )
                     else:
+                        ro_probe_end = ro_open
+                        if cfg.gi_fast_probe_overshoot > 0.0:
+                            # the reference trace travels |to_open| in units
+                            # of a step normalized by |to_open.xy| (glsl:302,
+                            # 308): its 3D range is |to_open|/|to_open.xy| x
+                            # the open distance — view-aligned rays sweep far
+                            # past first-open and resolve distant geometry
+                            seg_g = ro_open - pw * cfg.lightgrid_scale
+                            dvs = m3.transform_dirs(glob.view_from_world,
+                                                    seg_g)
+                            ov = jnp.linalg.norm(dvs, axis=-1) / jnp.maximum(
+                                jnp.linalg.norm(dvs[..., :2], axis=-1), 1e-6)
+                            ov = jnp.minimum(ov, cfg.gi_fast_probe_overshoot)
+                            ro_probe_end = (pw * cfg.lightgrid_scale
+                                            + seg_g * ov[..., None])
                         res_m, ss_rgb, off_m = gi.screen_probe_multi(
-                            pw * cfg.lightgrid_scale, ro_open,
+                            pw * cfg.lightgrid_scale, ro_probe_end,
                             cfg.lightgrid_scale, glob.clip_from_world,
                             (trace_depth if cfg.gi_fast_probe_fullres_depth
                              else depth_half),
@@ -402,6 +419,8 @@ def lighting_pass(
                             k_points=cfg.gi_fast_probe_points,
                             want_offscreen=True,
                             spacing_gamma=cfg.gi_fast_probe_gamma,
+                            spacing_growth=cfg.gi_fast_probe_growth,
+                            point_jitter=cfg.gi_fast_probe_jitter,
                             solid_taps=cfg.gi_fast_probe_solid_taps,
                             alpha_grid=walpha,
                             world_from_clip=glob.world_from_clip,
