@@ -1,0 +1,163 @@
+"""Full-res fast-GI SSIM eval with bench.py's EXACT methodology.
+
+docs/tune_gi.py settles 4 host-call frames with a per-frame sun nudge — that
+re-voxelizes every frame and leaves the lightgrid only 4 sweeps converged.
+bench.py settles 16 in-device frames with the sun FIXED (per-rep camera
+nudge), so the sweep has rotated axes 16 times and the GI field is brighter
+and smoother — fast-vs-reference SSIM reads ~0.02-0.04 LOWER there (measured
+r3: tune_gi 0.9245 vs bench 0.8807 on the same config).  Since BENCH_r{N}'s
+`gi_fast_ssim_vs_reference` is the number that counts, variants must be
+judged under its methodology.  This harness reproduces bench.py's SSIM block
+(two 8-frame scans per camera point, 1e-6 camera-nudged second batch, SSIM of
+the final sRGB frames at t=0.3 and 0.7) for a list of config-override
+variants, plus the same in-device frame timing as bench.py.
+
+Usage:  python docs/eval_ssim.py --variants default,trace16
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "default": dict(),
+    # faithful linear screen trace (gi.screen_trace_linear)
+    "trace16": dict(gi_fast_screen_mode="trace"),
+    "trace24": dict(gi_fast_screen_mode="trace", gi_trace_steps=24),
+    "trace12_t1": dict(gi_fast_screen_mode="trace", gi_trace_steps=12,
+                       gi_trace_solid_taps=1),
+    "trace16_d2": dict(gi_fast_screen_mode="trace", gi_trace_depth_div=2),
+    "trace16_r1": dict(gi_fast_screen_mode="trace", gi_trace_rounds=1),
+    "trace16_d4": dict(gi_fast_screen_mode="trace", gi_trace_depth_div=4),
+    "trace12_d2": dict(gi_fast_screen_mode="trace", gi_trace_steps=12,
+                       gi_trace_depth_div=2),
+    "trace16_d2_t1": dict(gi_fast_screen_mode="trace", gi_trace_depth_div=2,
+                          gi_trace_solid_taps=1),
+    # the pre-champion round-3 default, for reference
+    "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
+                    gi_fast_skip_steps=3, gi_fast_hit_steps=8,
+                    gi_fast_hit_step_scale=1.0, gi_fast_jitter_scale=1.0),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="default")
+    ap.add_argument("--points", default="0.3,0.7")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--detail", type=float, default=4.5)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--time", action="store_true")
+    ap.add_argument("--diff", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vulkan_pbr_renderer_tpu.app.renderer import (
+        CameraState, Renderer, init_frame_state, make_camera, render_frame,
+    )
+    from vulkan_pbr_renderer_tpu.assets import build_scene, suntemple
+    from vulkan_pbr_renderer_tpu.config import RenderConfig
+    from vulkan_pbr_renderer_tpu.utils import image
+
+    frames = args.frames
+    cfg0 = RenderConfig(width=args.width, height=args.height // 32 * 32)
+    scene = build_scene(suntemple.build_parts(detail=args.detail),
+                        suntemple.materials(), texture_size=256)
+    points = [float(t) for t in args.points.split(",")]
+    sun = jnp.asarray([35.0, 80.0], jnp.float32)
+
+    def make_render_n(the_cfg):
+        @jax.jit
+        def render_n(state, cam_batch, sun, pre, lut):
+            img0 = jnp.zeros((the_cfg.height, the_cfg.width, 3), jnp.float32)
+
+            def body(carry, cam_leaves):
+                st, _ = carry
+                cam = CameraState(*cam_leaves)
+                st, img = render_frame(scene, st, cam, sun, pre, lut,
+                                       the_cfg, "pallas")
+                return (st, img), jnp.mean(img)
+
+            (state, img), means = jax.lax.scan(body, (state, img0),
+                                               tuple(cam_batch))
+            return state, img, means
+
+        return render_n
+
+    def settle_batch(t, cfg, shift=0.0):
+        c = make_camera(*suntemple.camera_path(t + shift), cfg)
+        return CameraState(*[
+            jnp.stack([getattr(c, f)] * frames) for f in CameraState._fields
+        ])
+
+    def settled(cfg, rend, fn, t):
+        st = init_frame_state(cfg)
+        st, _, mm = fn(st, settle_batch(t, cfg), sun,
+                       rend.prefiltered_env, rend.brdf_lut)
+        float(mm[-1])
+        t0 = time.perf_counter()
+        st, img, mm = fn(st, settle_batch(t, cfg, 1e-6), sun,
+                         rend.prefiltered_env, rend.brdf_lut)
+        float(mm[-1])
+        ms = (time.perf_counter() - t0) / frames * 1000.0
+        return np.asarray(img), ms
+
+    rcfg = cfg0.replace(gi_mode="reference")
+    rr = Renderer(rcfg, scene, raster_backend="pallas")
+    render_ref = make_render_n(rcfg)
+    refs = {}
+    for t in points:
+        refs[t], ref_ms = settled(rcfg, rr, render_ref, t)
+        print(f"# reference t={t} done ({ref_ms:.0f} ms/frame)",
+              file=sys.stderr)
+
+    def timed(cfg, rend):
+        # bench.py's timing loop: camera-path batches nudged per rep
+        fn = make_render_n(cfg)
+        cams = lambda s: CameraState(*[
+            jnp.stack([getattr(make_camera(*suntemple.camera_path(
+                (i + s) / max(frames - 1, 1)), cfg), f) for i in range(frames)])
+            for f in CameraState._fields])
+        state = init_frame_state(cfg)
+        state, _, mm = fn(state, cams(0.0), sun, rend.prefiltered_env,
+                          rend.brdf_lut)
+        float(mm[-1])
+        t0 = time.perf_counter()
+        for k in range(2):
+            state, _, mm = fn(state, cams(0.003 * (k + 1)), sun,
+                              rend.prefiltered_env, rend.brdf_lut)
+            float(mm[-1])
+        return (time.perf_counter() - t0) / (2 * frames) * 1000.0
+
+    for name in args.variants.split(","):
+        vcfg = cfg0.replace(**VARIANTS[name])
+        vr = Renderer(vcfg, scene, raster_backend="pallas")
+        fn = make_render_n(vcfg)
+        ssims = []
+        for t in points:
+            img, _ = settled(vcfg, vr, fn, t)
+            ssims.append(float(image.ssim(img, refs[t])))
+            if args.diff:
+                d = np.abs(img - refs[t]).mean(-1)
+                d = np.clip(d / max(d.max(), 1e-6), 0, 1)
+                image.write_png(f"/tmp/ev_diff_{name}_t{t}.png",
+                                np.stack([d] * 3, -1))
+                image.write_png(f"/tmp/ev_img_{name}_t{t}.png", img)
+                image.write_png(f"/tmp/ev_ref_t{t}.png", refs[t])
+        line = (f"{name:16s} ssim={['%.4f' % s for s in ssims]} "
+                f"mean={np.mean(ssims):.4f}")
+        if args.time:
+            line += f" frame_ms={timed(vcfg, vr):.1f}"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,8 +67,8 @@ class RenderConfig:
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
-    gi_fast_skip_steps: int = 3            # blockage skip (4 matches glsl:280-288;
-                                           # 3 measured SSIM-neutral, -10 ms)
+    gi_fast_skip_steps: int = 4            # blockage skip, reference-exact
+                                           # (glsl:280-288; champion sweep 4)
     gi_fast_open_thresh: float = 0.3
     gi_fast_samples: int = 2               # fog-weighted samples along the ray
     gi_fast_sample_spread: float = 3.0     # voxels between extra samples
@@ -85,7 +85,7 @@ class RenderConfig:
     gi_fast_diffuse_hit_steps: int = 0     # same for the diffuse bent ray
     gi_fast_probe_level: int = 1           # prev-frame pyramid level for the
                                            # probe (0 = half res, sharper)
-    gi_fast_probe_points: int = 3          # >1: also depth-test the interior
+    gi_fast_probe_points: int = 5          # >1: also depth-test the interior
                                            # of the surface->first-open
                                            # segment (gi.screen_probe_multi) —
                                            # catches rays dipping behind
@@ -96,7 +96,7 @@ class RenderConfig:
                                            # textureLod mip min(step*5, 5),
                                            # glsl:377 — far resolves soft);
                                            # 0 = fixed gi_fast_probe_level
-    gi_fast_edge_fallback: bool = False    # probes leaving the screen fall
+    gi_fast_edge_fallback: bool = True    # probes leaving the screen fall
                                            # back to a 2.5-voxel camera-ward
                                            # lightgrid sample (glsl:324-331)
     gi_fast_probe_solid_taps: int = 0      # >0: require the occluder to be
@@ -118,13 +118,28 @@ class RenderConfig:
     gi_fast_fog_march: bool = True
     # screen term of the march path: "probes" = k-point depth probes of the
     # [surface, first-open] segment; "hiz" = hierarchical-z trace of the same
-    # segment (gi.hiz_trace — the TPU shape of the reference's 24-step linear
-    # trace).  Default probes: measured on TPU at 960x544 default config,
-    # hiz scores SSIM 0.9297 vs probes 0.9245 against the reference march —
-    # +0.005 SSIM for ~148 ms/frame at bench scale (the 14-iteration
-    # fori_loop gathers at the rate ceiling; hlo_stats r3 wave 9).  hiz
-    # remains available for offline/quality renders.
-    gi_fast_screen_mode: str = "probes"
+    # segment (gi.hiz_trace); "trace" (default, round 3) = the reference's
+    # OWN linear trace, bounded (gi.screen_trace_linear).  Measured at bench
+    # methodology (docs/eval_ssim, full-res 2-point SSIM vs the parity
+    # march): trace 0.9890 vs probes 0.9301 vs the round-2 probe sweep
+    # ceiling ~0.94 — the probe fidelity wall was the missing continuous
+    # march structure, not its tuning.
+    gi_fast_screen_mode: str = "trace"
+    # "trace" = gi.screen_trace_linear: the reference's OWN linear screen
+    # trace (step schedule, occlusion test, 3-tap solidity, boost past thin
+    # occluders, off-screen fallback — lighting_pass.glsl:301-397), bounded
+    # and with solidity deferred to depth crossings.  The faithful screen
+    # term: its only deltas vs the parity path are the trip-count bounds.
+    gi_trace_steps: int = 12               # round-1 step budget (the parity
+                                           # path bounds the same loop at 24)
+    gi_trace_rounds: int = 2               # translucent crossings a lane may
+                                           # boost past (glsl:357-361)
+    gi_trace_steps2: int = 6               # steps per re-armed round
+    gi_trace_solid_taps: int = 1           # 3 = reference-exact (glsl:348);
+                                           # 1 = midpoint economy (measured
+                                           # equal: docs/eval_ssim r3)
+    gi_trace_depth_div: int = 1            # 1 = full-res depth (exact);
+                                           # 2/4 = min-reduced table (perf)
     gi_fast_probe_to_stop: bool = False    # probe the [surface, march-stop]
                                            # segment instead of [surface,
                                            # first-open] (measured WORSE:
@@ -154,7 +169,7 @@ class RenderConfig:
                                            # alpha at the hit is below this
                                            # (glsl:348-356); 0 = off (see
                                            # gi.screen_trace_hiz rationale)
-    gi_fast_jitter_scale: float = 1.0      # march-start jitter in units of the
+    gi_fast_jitter_scale: float = 2.0      # march-start jitter in units of the
                                            # march step.  The reference jitters
                                            # by the PRE-halving step (ro +=
                                            # rd*noise before the 0.5*rd steps,
@@ -198,12 +213,12 @@ class RenderConfig:
                                            # min-depth moves surfaces NEARER,
                                            # inflating "behind geometry" hits
                                            # at silhouettes (false resolves)
-    gi_fast_hit_steps: int = 8             # diffuse: march steps to the stop
-    gi_fast_hit_step_scale: float = 1.0    # x voxel; 8x1 vs the ref's
-                                           # 12 steps x 0.5 voxel coverage
-                                           # (12x0.5 measured +0.000 SSIM for
-                                           # +36 ms — docs/tune_gi fog_ref16
-                                           # vs fog_spec16)
+    gi_fast_hit_steps: int = 12            # diffuse: reference-exact
+    gi_fast_hit_step_scale: float = 0.5    # 12 steps x 0.5 voxel (glsl:685
+                                           # + the 0.5*rd halving glsl:409;
+                                           # part of the e5r16_j2 champion
+                                           # bundle: full-res 2-point SSIM
+                                           # 0.9443 vs 0.9245, +1.6 ms)
     gi_fast_hit_steps_spec: int = 16       # specular ray: reference-exact
     gi_fast_hit_step_scale_spec: float = 1.0  # 16 x 1.0 voxel (glsl:701);
                                            # the coarser 8x2.0 skips small

@@ -883,6 +883,149 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
     return best_hit, prev * ss_intensity
 
 
+def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs, fb_rgb,
+                        clip_from_view, view_from_clip, world_from_view,
+                        lightgrid_scale, noise_01,
+                        steps=16, rounds=2, steps2=6, solid_taps=3,
+                        unroll=6):
+    """Faithful bounded port of the reference's linear screen trace
+    (lighting_pass.glsl:301-397) for the FAST GI path — the same step
+    schedule, occlusion test, solidity gate, boost-continuation, and
+    off-screen fallback as sample_radiance_with_screen_trace's phase B, but
+    restructured so the voxel-solidity taps are paid per depth-CROSSING
+    instead of per step:
+
+      * the in-loop body tests only the depth buffer (ONE 4-byte row/step;
+        the [H,W] f32 depth promotes to VMEM and gathers at the rate
+        ceiling) and FREEZES the lane at its first crossing;
+      * after each round, the 3-tap lightgrid solidity test (glsl:348-356)
+        runs once per frozen lane; translucent crossings re-arm the lane
+        with the reference's (2+noise)x boosted step (glsl:357-361) for the
+        next round of `steps2` steps.
+
+    The reference evaluates solidity inline and continues marching in the
+    same loop; `rounds` bounds how many translucent crossings a lane can
+    skip (2 covers a column + a railing — deeper stacks fall through to the
+    voxel march, exactly like the reference's own trip-count bound in the
+    parity path, max_ss_steps=24).
+
+    Reference-exact details preserved: step_len0 = max(z_view,1)*(1+noise)/
+    100 (glsl:301); dir normalized by |to_open.xy| so travelled distance is
+    measured in XY-projected units against the 3-D |to_open| (glsl:302-312
+    — the view-aligned overshoot); step growth 1.2x BEFORE the depth fetch
+    (glsl:333-336); occlusion = euclidean view-space |surface| < |ray|
+    (glsl:343); the distance-exhaustion check skipped on boost steps
+    (glsl:361 `continue`); resolve lod = post-growth step_length (glsl:377,
+    fetched by the caller at the returned uv/slen).
+
+    Returns (status, res_uv, res_slen) with status 0/2 = fall through to
+    the voxel-march result, 1 = off-screen fallback (use fb_rgb), 3 =
+    screen-resolved (sample the prev-frame atlas at res_uv, lod res_slen*5).
+    """
+    to_open = open_vs - p0_vs
+    step_len0 = jnp.maximum(p0_vs[..., 2], 1.0) * (1.0 + noise_01) / 100.0
+    ss_dir = to_open / jnp.maximum(
+        jnp.linalg.norm(to_open[..., :2], axis=-1, keepdims=True), 1e-8
+    )
+    dist_to_travel = jnp.linalg.norm(to_open, axis=-1)
+
+    shape = step_len0.shape
+    st = dict(
+        pos=p0_vs,
+        step=ss_dir * step_len0[..., None],
+        slen=step_len0,
+        trav=jnp.zeros(shape, jnp.float32),
+        # 0 marching, 1 offscreen-fallback, 2 exhausted (voxel march),
+        # 3 resolved, 4 frozen at a depth crossing (solidity pending)
+        status=jnp.zeros(shape, jnp.int32),
+        res_uv=jnp.zeros(shape + (2,), jnp.float32),
+        surf_vs=jnp.zeros(shape + (3,), jnp.float32),
+    )
+
+    def body(i, st):
+        active = st["status"] == 0
+        pos = jnp.where(active[..., None], st["pos"] + st["step"], st["pos"])
+        trav = jnp.where(active, st["trav"] + st["slen"], st["trav"])
+
+        ndc4 = m3.transform_points(clip_from_view, pos)
+        ndc = ndc4[..., :3] / jnp.where(
+            jnp.abs(ndc4[..., 3:4]) < 1e-8, 1e-8, ndc4[..., 3:4]
+        )
+        offscreen = jnp.any(jnp.abs(ndc[..., :2]) > 1.0, axis=-1) & active
+        status = jnp.where(offscreen, 1, st["status"])
+
+        step = jnp.where(active[..., None], st["step"] * 1.2, st["step"])
+        slen = jnp.where(active, st["slen"] * 1.2, st["slen"])
+
+        uv = ndc[..., :2] * 0.5 + 0.5
+        d = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
+        sp4 = m3.transform_points(
+            view_from_clip, jnp.concatenate([ndc[..., :2], d[..., None]], -1)
+        )
+        surf_vs = sp4[..., :3] / jnp.where(
+            jnp.abs(sp4[..., 3:4]) < 1e-8, 1e-8, sp4[..., 3:4]
+        )
+        hit = (
+            (jnp.linalg.norm(surf_vs, axis=-1) < jnp.linalg.norm(pos, axis=-1))
+            & active & ~offscreen
+        )
+        status = jnp.where(hit, 4, status)
+        res_uv = jnp.where(hit[..., None], uv, st["res_uv"])
+        surf_keep = jnp.where(hit[..., None], surf_vs, st["surf_vs"])
+
+        done = (trav > dist_to_travel) & active & ~offscreen & ~hit
+        status = jnp.where(done, 2, status)
+        return dict(pos=pos, step=step, slen=slen, trav=trav, status=status,
+                    res_uv=res_uv, surf_vs=surf_keep)
+
+    def solidity(st):
+        """3 alpha taps between the crossed surface and the ray (glsl:348-356);
+        resolves solid crossings, re-arms translucent ones with the boosted
+        step (glsl:357-361)."""
+        pending = st["status"] == 4
+        t_start = m3.transform_points(
+            world_from_view, st["surf_vs"]
+        )[..., :3] * (lightgrid_scale * 0.5) + 0.5
+        t_end = m3.transform_points(
+            world_from_view, st["pos"]
+        )[..., :3] * (lightgrid_scale * 0.5) + 0.5
+        noff = noise_01 * 0.2
+        fracs = ((0.2, 0.4, 0.6) if solid_taps >= 3 else
+                 (0.4,) if solid_taps == 1 else (0.3, 0.5))
+        asum = 0.0
+        for k in fracs:
+            mixk = t_start + (t_end - t_start) * (noff + k)[..., None]
+            asum = asum + sampling.sample_trilinear_window(
+                alpha_grid, mixk, 1, decode=lambda v: v * (1.0 / 255.0)
+            )[..., 0]
+        solid = asum >= 0.5 * len(fracs)
+        resolve = pending & solid
+        boost = pending & ~solid
+        bf = (2.0 + noise_01)[..., None]
+        status = jnp.where(resolve, 3, jnp.where(boost, 0, st["status"]))
+        step = jnp.where(boost[..., None], st["step"] * bf, st["step"])
+        slen = jnp.where(boost, st["slen"] * bf[..., 0], st["slen"])
+        return dict(st, status=status, step=step, slen=slen)
+
+    # unroll: an XLA while iteration at [H/2,W/2] costs ~5 ms on v5e
+    # regardless of body (measured r3: the 36-iteration trace paid +181
+    # ms/frame where its gathers price at ~60; the 28-iteration hiz trace
+    # paid the same ~5 ms/iter) — unrolling 6 steps per iteration cuts the
+    # loop overhead 6x and lets XLA fuse the dense projection math across
+    # steps, bounded compile growth (a FULL unroll doubled frame compile)
+    st = jax.lax.fori_loop(0, steps, body, st,
+                           unroll=min(unroll, steps))
+    st = solidity(st)
+    for _ in range(max(0, rounds - 1)):
+        st = jax.lax.fori_loop(0, steps2, body, st,
+                               unroll=min(unroll, steps2))
+        st = solidity(st)
+    # lanes still marching at the budget: fall through to the voxel march,
+    # like the parity path's own max_ss_steps bound
+    status = jnp.where(st["status"] == 0, 2, st["status"])
+    return status, st["res_uv"], st["slen"]
+
+
 def build_hiz_atlas(depth, levels=6):
     """Min-depth mip pyramid of the depth buffer packed into one [H, Wa]
     f32 atlas (level k at column offset mip_offsets[k], cell = 2^k texels).
@@ -1226,14 +1369,20 @@ def sample_radiance_with_screen_trace(
     )
     dist_to_travel = jnp.linalg.norm(to_open, axis=-1)
 
-    # status: 0 = marching, 1 = resolved (result valid), 2 = fall through to voxel march
+    # status: 0 = marching, 1 = off-screen fallback, 2 = fall through to
+    # voxel march, 3 = screen-resolved (prev frame fetched ONCE after the
+    # loop at res_uv/res_slen — the in-loop fetch paid 2 mip-atlas gather
+    # rows x max_ss_steps per ray for values discarded on all but the
+    # resolve step; recording the uv instead is bit-exact and removes ~46
+    # rows/ray from the parity path, round 3)
     st0 = dict(
         pos=p0_vs,
         step=ss_dir * step_len0[..., None],
         slen=step_len0,
         trav=jnp.zeros_like(step_len0),
         status=jnp.zeros(step_len0.shape, jnp.int32),
-        result=jnp.zeros(p0_vs.shape[:-1] + (3,), jnp.float32),
+        res_uv=jnp.zeros(p0_vs.shape[:-1] + (2,), jnp.float32),
+        res_slen=jnp.zeros_like(step_len0),
     )
 
     fallback_pos = ro0 + 2.5 * v_dir * voxel_scale
@@ -1252,7 +1401,6 @@ def sample_radiance_with_screen_trace(
         offscreen = jnp.any(jnp.abs(ndc[..., :2]) > 1.0, axis=-1) & active
         # off-screen -> fallback lightgrid sample (glsl:322-330)
         status = jnp.where(offscreen, 1, st["status"])
-        result = jnp.where(offscreen[..., None], fb_rgb, st["result"])
 
         step = jnp.where(active[..., None], st["step"] * 1.2, st["step"])
         slen = jnp.where(active, st["slen"] * 1.2, st["slen"])
@@ -1296,24 +1444,30 @@ def sample_radiance_with_screen_trace(
         step = jnp.where(boost[..., None], step * bf, step)
         slen = jnp.where(boost, slen * bf[..., 0], slen)
 
-        # solid hit: sample previous frame at this uv (glsl:371-384)
+        # solid hit: record the resolve uv + step length (glsl:371-384; the
+        # prev-frame mip fetch happens once, after the loop)
         resolve = hit & solid
-        lod = jnp.minimum(slen * 5.0, 5.0)
-        prev = sampling.sample_mip_atlas(
-            prev_frame_atlas, prev_base[0], prev_base[1], uv, lod, levels=prev_levels
-        )[..., :3]
-        status = jnp.where(resolve, 1, status)
-        result = jnp.where(resolve[..., None], prev * ss_intensity, result)
+        status = jnp.where(resolve, 3, status)
+        res_uv = jnp.where(resolve[..., None], uv, st["res_uv"])
+        res_slen = jnp.where(resolve, slen, st["res_slen"])
 
         # distance exhausted -> proceed to voxel march (glsl:392)
         done = (trav > dist_to_travel) & active & ~offscreen & ~resolve & ~boost
         status = jnp.where(done, 2, status)
 
-        return dict(pos=pos, step=step, slen=slen, trav=trav, status=status, result=result)
+        return dict(pos=pos, step=step, slen=slen, trav=trav, status=status,
+                    res_uv=res_uv, res_slen=res_slen)
 
     st = jax.lax.fori_loop(0, max_ss_steps, ss_body, st0)
     # lanes that ran out of iterations: treat like distance-exhausted
     status = jnp.where(st["status"] == 0, 2, st["status"])
+    lod = jnp.minimum(st["res_slen"] * 5.0, 5.0)
+    prev = sampling.sample_mip_atlas(
+        prev_frame_atlas, prev_base[0], prev_base[1], st["res_uv"], lod,
+        levels=prev_levels,
+    )[..., :3]
+    result = jnp.where((status == 1)[..., None], fb_rgb,
+                       prev * ss_intensity)
 
     # -- phase C: continue in voxel space (glsl:399-423)
     no_open = sum4[..., 3] < 0.5
@@ -1323,4 +1477,5 @@ def sample_radiance_with_screen_trace(
                          if jnp.ndim(foggyness) else foggyness, True)
     voxel_rgb = jnp.where(no_open[..., None], 0.0, _tone(sum_c))
 
-    return jnp.where((status == 1)[..., None], st["result"], voxel_rgb)
+    return jnp.where(((status == 1) | (status == 3))[..., None], result,
+                     voxel_rgb)

@@ -282,7 +282,8 @@ def lighting_pass(
             alpha_grid=walpha,
         )
         dist_mip = cfg.gi_fast_probe_dist_mip
-        if cfg.gi_mode == "fast" and cfg.gi_fast_screen_probe:
+        if (cfg.gi_mode == "fast" and cfg.gi_fast_screen_probe
+                and cfg.gi_fast_screen_mode != "trace"):
             if dist_mip > 0.0:
                 # window pack of the WHOLE prev pyramid atlas: march probes
                 # resolve at a distance-scaled level (the reference's
@@ -338,12 +339,20 @@ def lighting_pass(
             # visible geometry" test (never fakes a hit a full-res ray
             # would miss... it can only move the surface nearer)
             th_, tw_ = trace_depth.shape
-            kdp = cfg.gi_fast_probe_depth_div
-            depth_half = jax.lax.reduce_window(
-                trace_depth, jnp.float32(jnp.inf), jax.lax.min,
-                (kdp, kdp), (kdp, kdp), "valid",
-            ) if (th_ % kdp == 0 and tw_ % kdp == 0) else \
-                trace_depth[::kdp, ::kdp]
+
+            def _min_depth(kdp):
+                if kdp == 1:
+                    return trace_depth
+                if th_ % kdp == 0 and tw_ % kdp == 0:
+                    return jax.lax.reduce_window(
+                        trace_depth, jnp.float32(jnp.inf), jax.lax.min,
+                        (kdp, kdp), (kdp, kdp), "valid",
+                    )
+                return trace_depth[::kdp, ::kdp]
+
+            depth_half = _min_depth(cfg.gi_fast_probe_depth_div)
+            if cfg.gi_fast_screen_mode == "trace":
+                trace_tbl = _min_depth(cfg.gi_trace_depth_div)
             if cfg.gi_fast_screen_probe and cfg.gi_fast_screen_mode == "hiz":
                 # one min-depth pyramid shared by the diffuse + specular
                 # traces (and, sharded, identical on every shard — built from
@@ -355,7 +364,7 @@ def lighting_pass(
                 fgrid = gi.pack_grid_f16_nearest(res.lightgrid)
 
             def march_resolve(pw, rd_unit, hit_steps, step_scale,
-                              ss_intensity, noise, foggyness=0.5):
+                              ss_intensity, noise, foggyness=0.5, pv=None):
                 if cfg.gi_fast_fog_march:
                     rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_fog(
                         fgrid, pw, rd_unit, cfg.lightgrid_scale,
@@ -375,7 +384,39 @@ def lighting_pass(
                         hit_steps=hit_steps, step_scale=step_scale,
                         noise=noise, rgb_samples=cfg.gi_fast_samples,
                     )
-                if cfg.gi_fast_screen_probe:
+                if cfg.gi_fast_screen_probe and \
+                        cfg.gi_fast_screen_mode == "trace":
+                    # faithful bounded port of the reference's linear screen
+                    # trace (gi.screen_trace_linear) — same tables as the
+                    # parity path: nearest full-res depth, u16 alpha
+                    # solidity, prev-frame mip atlas with the textureLod
+                    # distance mip (lighting_pass.glsl:301-397)
+                    open_vs = m3.transform_points(
+                        glob.view_from_world, ro_open / cfg.lightgrid_scale
+                    )[..., :3]
+                    v_cam = m3.normalize(glob.camera_pos - pw)
+                    fb_pos = (pw * cfg.lightgrid_scale
+                              + 2.5 * v_cam * voxel_step)
+                    fb = gi.grid_sample(wgrid, fb_pos)
+                    fb_rgb = colorlib.tone_compress_sqrt(fb[..., :3])
+                    status, res_uv, res_slen = gi.screen_trace_linear(
+                        trace_tbl, walpha, pv, open_vs, fb_rgb,
+                        glob.clip_from_view, glob.view_from_clip,
+                        glob.world_from_view, cfg.lightgrid_scale, noise,
+                        steps=cfg.gi_trace_steps,
+                        rounds=cfg.gi_trace_rounds,
+                        steps2=cfg.gi_trace_steps2,
+                        solid_taps=cfg.gi_trace_solid_taps,
+                    )
+                    lod = jnp.minimum(res_slen * 5.0, 5.0)
+                    prev = sampling.sample_mip_atlas(
+                        res.prev_frame_atlas, fh // 2, w // 2, res_uv, lod,
+                        levels=cfg.bloom_pass_count,
+                    )[..., :3]
+                    rgb = jnp.where((status == 1)[..., None], fb_rgb, rgb)
+                    rgb = jnp.where((status == 3)[..., None],
+                                    prev * ss_intensity, rgb)
+                elif cfg.gi_fast_screen_probe:
                     if cfg.gi_fast_probe_to_stop:
                         # probe the full [surface, march stop] segment — for
                         # specular rays the interesting on-screen target (the
@@ -445,14 +486,14 @@ def lighting_pass(
 
             kdif = cfg.gi_res_divisor_diffuse or kg
             if kdif != kg:
-                nd_d, _, pwd_d, _, (n1dd, _, n3dd) = sub_inputs(kdif)
+                nd_d, _, pwd_d, pvd_d, (n1dd, _, n3dd) = sub_inputs(kdif)
                 bent_d = bent_normal_cosine(nd_d, n1dd, n3dd)
             else:
-                pwd_d, bent_d, n3dd = pwd, bent, n3d
+                pwd_d, pvd_d, bent_d, n3dd = pwd, pvd, bent, n3d
             ambient = march_resolve(
                 pwd_d, bent_d, cfg.gi_fast_hit_steps,
                 cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity, n3dd,
-                foggyness=cfg.gi_diffuse_foggyness,
+                foggyness=cfg.gi_diffuse_foggyness, pv=pvd_d,
             )
         elif cfg.gi_mode == "fast":
             ambient, ro_open = gi.sample_radiance_fast(
@@ -500,7 +541,7 @@ def lighting_pass(
             spec = march_resolve(
                 pwd, r, cfg.gi_fast_hit_steps_spec,
                 cfg.gi_fast_hit_step_scale_spec, cfg.gi_specular_ss_intensity,
-                n3d, foggyness=spec_fog,
+                n3d, foggyness=spec_fog, pv=pvd,
             )
         elif cfg.gi_mode == "fast":
             spec, ro_open_s = gi.sample_radiance_fast(
