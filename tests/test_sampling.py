@@ -19,6 +19,19 @@ def test_nearest_exact_texel():
     np.testing.assert_allclose(v, [3, 5, 8])
 
 
+def test_nearest8_bitexact_vs_nearest():
+    # the blocked 32B-row depth fetch must reproduce sample_nearest EXACTLY
+    # (clamp addressing, incl. out-of-range uv) — it is used inside the GI
+    # screen traces where any delta would shift occlusion boundaries
+    rng = np.random.default_rng(7)
+    for h, w in ((16, 24), (17, 24), (16, 25)):  # w%8!=0 exercises fallback
+        tex = jnp.asarray(rng.random((h, w), dtype=np.float32))
+        uv = jnp.asarray(rng.random((500, 2), dtype=np.float32) * 1.6 - 0.3)
+        a = np.asarray(S.sample_nearest(tex[..., None], uv))[..., 0]
+        b = np.asarray(S.sample_nearest8(tex, uv))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_bilinear_center_and_midpoint():
     tex = _ramp_tex(8, 8)
     uv = jnp.array([[(2 + 0.5) / 8, (4 + 0.5) / 8]])

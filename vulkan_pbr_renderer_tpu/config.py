@@ -140,6 +140,14 @@ class RenderConfig:
                                            # equal: docs/eval_ssim r3)
     gi_trace_depth_div: int = 1            # 1 = full-res depth (exact);
                                            # 2/4 = min-reduced table (perf)
+    gi_trace_unroll: int = 24              # steps per XLA while iteration;
+                                           # >= the step budget emits straight-
+                                           # line code (numerically identical —
+                                           # an XLA while iteration at [H/2,
+                                           # W/2] costs ~5 ms REGARDLESS of
+                                           # body, so the 6 wrapped iterations
+                                           # of unroll=6 cost ~30 ms/frame of
+                                           # pure loop tax (A/B below)
     gi_fast_probe_to_stop: bool = False    # probe the [surface, march-stop]
                                            # segment instead of [surface,
                                            # first-open] (measured WORSE:

@@ -95,6 +95,32 @@ def sample_nearest(tex, uv, mode="clamp"):
     return _gather2d(tex, _wrap_coord(iy, h, mode), _wrap_coord(ix, w, mode))
 
 
+def sample_nearest8(tex2d, uv):
+    """Bit-exact `sample_nearest` of a single-channel [H,W] texture through a
+    32-byte blocked view: the row-major [H,W] f32 buffer reshaped [H*W/8, 8]
+    (a free relayout) is gathered one ROW per sample and the wanted texel
+    selected in-register with a one-hot where/sum.
+
+    Rationale (r3 hlo_stats): 1-element f32 gathers of the 1080p depth run
+    ~140 M rows/s, while [N,8] s32/f32 32-byte rows measure ~300 M rows/s
+    in-frame (gi.py fog-march trilinear, sampling.take_rows views) — the
+    per-row overhead dominates narrow rows, so fetching the 8-texel block
+    containing the sample halves the cost of every trace step at zero
+    fidelity cost (the select is exact; depth is finite so the masked
+    where/sum introduces no arithmetic).  Clamp addressing, like
+    sample_nearest(mode="clamp")."""
+    h, w = tex2d.shape
+    if w % 8 != 0:
+        return sample_nearest(tex2d[..., None], uv)[..., 0]
+    packed = tex2d.reshape(h * w // 8, 8)
+    ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    lin = iy * w + ix
+    rows = jnp.take(packed, lin >> 3, axis=0)
+    onehot = (lin & 7)[..., None] == jnp.arange(8, dtype=jnp.int32)
+    return jnp.where(onehot, rows, 0.0).sum(-1)
+
+
 def sample_bilinear(tex, uv, mode="clamp"):
     """Bilinear 2D sample. tex [H,W,C], uv [...,2] -> [...,C]."""
     h, w, _ = tex.shape

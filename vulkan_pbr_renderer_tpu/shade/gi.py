@@ -840,7 +840,7 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
         uv = ndc[..., :2] * 0.5 + 0.5
         onscreen = (w > 0.0) & jnp.all(jnp.abs(ndc[..., :2]) < 1.0, axis=-1)
         first_off = first_off | (~onscreen & ~best_hit)
-        d_scene = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
+        d_scene = sampling.sample_nearest8(depth_tex, uv)
         # an off-screen probe is terminal (the reference falls back the step
         # its trace leaves the screen, glsl:322-331) — no later-k hits
         hit_k = (onscreen & ~first_off
@@ -958,7 +958,11 @@ def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs, fb_rgb,
         slen = jnp.where(active, st["slen"] * 1.2, st["slen"])
 
         uv = ndc[..., :2] * 0.5 + 0.5
-        d = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
+        # blocked 32B-row depth fetch — bit-exact sample_nearest at ~2x the
+        # gather rate (sampling.sample_nearest8 rationale; the per-step depth
+        # fetch is the trace's entire cost: 36 fetches/frame = 134 ms as
+        # 4-byte rows in the r3 wave-14 hlo profile)
+        d = sampling.sample_nearest8(depth_tex, uv)
         sp4 = m3.transform_points(
             view_from_clip, jnp.concatenate([ndc[..., :2], d[..., None]], -1)
         )
@@ -1012,13 +1016,20 @@ def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs, fb_rgb,
     # ms/frame where its gathers price at ~60; the 28-iteration hiz trace
     # paid the same ~5 ms/iter) — unrolling 6 steps per iteration cuts the
     # loop overhead 6x and lets XLA fuse the dense projection math across
-    # steps, bounded compile growth (a FULL unroll doubled frame compile)
-    st = jax.lax.fori_loop(0, steps, body, st,
-                           unroll=min(unroll, steps))
+    # steps, bounded compile growth.  unroll >= steps emits a plain Python
+    # loop (no while at all): numerically identical, zero per-iteration
+    # overhead, at more compile time — the A/B decides the default.
+    def run_loop(n, st):
+        if unroll >= n:
+            for i in range(n):
+                st = body(i, st)
+            return st
+        return jax.lax.fori_loop(0, n, body, st, unroll=min(unroll, n))
+
+    st = run_loop(steps, st)
     st = solidity(st)
     for _ in range(max(0, rounds - 1)):
-        st = jax.lax.fori_loop(0, steps2, body, st,
-                               unroll=min(unroll, steps2))
+        st = run_loop(steps2, st)
         st = solidity(st)
     # lanes still marching at the budget: fall through to the voxel march,
     # like the parity path's own max_ss_steps bound
@@ -1291,7 +1302,7 @@ def screen_probe(open_grid_ndc, lightgrid_scale, clip_from_world, depth_tex,
                                   w[..., None])
     uv = ndc[..., :2] * 0.5 + 0.5
     onscreen = (w > 0.0) & jnp.all(jnp.abs(ndc[..., :2]) < 1.0, axis=-1)
-    d_scene = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
+    d_scene = sampling.sample_nearest8(depth_tex, uv)
     hit = onscreen & (ndc[..., 2] > d_scene + z_margin) & (d_scene < 1.0)
     prev = sampling.sample_bilinear_window(wprev, prev_hw[0], prev_hw[1],
                                            uv, 3)
@@ -1406,7 +1417,11 @@ def sample_radiance_with_screen_trace(
         slen = jnp.where(active, st["slen"] * 1.2, st["slen"])
 
         uv = ndc[..., :2] * 0.5 + 0.5
-        d = sampling.sample_nearest(depth_tex[..., None], uv)[..., 0]
+        # blocked 32B-row depth fetch — bit-exact sample_nearest at ~2x the
+        # gather rate (sampling.sample_nearest8 rationale; the per-step depth
+        # fetch is the trace's entire cost: 36 fetches/frame = 134 ms as
+        # 4-byte rows in the r3 wave-14 hlo profile)
+        d = sampling.sample_nearest8(depth_tex, uv)
         sp4 = m3.transform_points(
             view_from_clip, jnp.concatenate([ndc[..., :2], d[..., None]], -1)
         )

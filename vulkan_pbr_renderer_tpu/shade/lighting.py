@@ -407,6 +407,7 @@ def lighting_pass(
                         rounds=cfg.gi_trace_rounds,
                         steps2=cfg.gi_trace_steps2,
                         solid_taps=cfg.gi_trace_solid_taps,
+                        unroll=cfg.gi_trace_unroll,
                     )
                     lod = jnp.minimum(res_slen * 5.0, 5.0)
                     prev = sampling.sample_mip_atlas(
