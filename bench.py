@@ -97,7 +97,8 @@ def main():
     t0 = time.perf_counter()
     state, _, means = render_n(state, cam_batch, sun, r.prefiltered_env, r.brdf_lut)
     float(means[-1])
-    print(f"# compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+first: {compile_s:.1f}s", file=sys.stderr)
 
     # Per-rep anti-memoization: nudge the CAMERA path, not the sun — a sun
     # nudge re-triggers voxelize + the sun-shadow raster (~90 ms once per
@@ -127,6 +128,16 @@ def main():
     ms = min(rep_ms)
     print(f"# frame_ms: {ms:.2f} (reps: "
           + " ".join(f"{t:.1f}" for t in rep_ms) + ")", file=sys.stderr)
+    # The tunnel's throughput drifts up to 1.7x BETWEEN sessions (r3: the
+    # same config measured 267.6/318/479 ms across ~2 h), so cross-round
+    # deltas are only meaningful with the in-session spread attached
+    # (VERDICT r3 #6): record every rep and the min/median/spread.
+    rep_sorted = sorted(rep_ms)
+    rep_stats = {
+        "reps_ms": [round(t, 2) for t in rep_ms],
+        "rep_median_ms": round(rep_sorted[len(rep_sorted) // 2], 2),
+        "rep_spread": round(rep_sorted[-1] / max(rep_sorted[0], 1e-9), 3),
+    }
 
     # an overflowing bench frame would silently drop triangles and report a
     # BETTER number (VERDICT r2 weak #4) — one host fetch, outside timing
@@ -141,6 +152,8 @@ def main():
         "vs_baseline": round(16.6 / ms, 4),
         "mpix_per_s_shaded": round(cfg.width * cfg.height / ms / 1000.0, 2),
         "tris": n_tris,
+        "compile_first_s": round(compile_s, 1),
+        **rep_stats,
     }
 
     if os.environ.get("BENCH_SSIM", "1") == "1":

@@ -106,9 +106,17 @@ def sample_nearest8(tex2d, uv):
     in-frame (gi.py fog-march trilinear, sampling.take_rows views) — the
     per-row overhead dominates narrow rows, so fetching the 8-texel block
     containing the sample halves the cost of every trace step at zero
-    fidelity cost (the select is exact; depth is finite so the masked
-    where/sum introduces no arithmetic).  Clamp addressing, like
-    sample_nearest(mode="clamp")."""
+    fidelity cost.  Clamp addressing, like sample_nearest(mode="clamp").
+
+    Exactness caveat (ADVICE r3): the one-hot where/sum select is arithmetic,
+    so a -0.0 texel comes back as +0.0 (-0.0 + 0.0 == +0.0).  All callers
+    pass [0,1] depth (never -0.0), and every downstream use is a comparison
+    where -0.0 == +0.0 anyway.
+
+    The w % 8 guard is an ALIGNMENT/PERF choice, not correctness: the flat
+    linear index would be legal whenever h*w % 8 == 0, but a row-straddling
+    block means adjacent samples hit different cache rows; odd widths only
+    occur in tests, so they take the plain per-texel path."""
     h, w = tex2d.shape
     if w % 8 != 0:
         return sample_nearest(tex2d[..., None], uv)[..., 0]
