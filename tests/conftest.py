@@ -23,3 +23,29 @@ jax.config.update("jax_platforms", _plat)
 jax.config.update("jax_enable_x64", False)
 # Keep f32 math f32 on any backend (TPU would otherwise use bf16 matmuls).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+# Two test tiers (VERDICT r3 #8): the default run skips the multi-minute
+# compile-heavy tests (reference-GI scale golden, per-pass toggle goldens,
+# the big sharded-parity frames, the end-to-end preview session) so a
+# per-change `pytest tests/ -q` stays fast; RUN_SLOW=1 (CI / pre-commit of
+# GI or sharding changes) runs everything.  The slow tier is documented in
+# CLAUDE.md; the fast-GI 480x272 golden and one sharded-parity test stay
+# default-on as the precision/parity safety net.
+RUN_SLOW = os.environ.get("RUN_SLOW") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute compile-heavy tier; run with RUN_SLOW=1"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip = pytest.mark.skip(reason="slow tier: set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -63,7 +63,12 @@ SCALE = RenderConfig(
 MID = SCALE.replace(width=480, height=272, shadow_map_size=256)
 
 
-@pytest.mark.parametrize("mode", ["fast", "reference"])
+@pytest.mark.parametrize("mode", [
+    "fast",
+    # the reference-parity march golden is multi-minute on CPU — slow tier
+    # (VERDICT r3 #8); the fast golden stays default-on as the precision net
+    pytest.param("reference", marks=pytest.mark.slow),
+])
 def test_golden_suntemple_480(mode):
     cfg = MID.replace(gi_mode=mode)
     r = Renderer(cfg, _scene(), use_cache=False, raster_backend="xla")
@@ -105,6 +110,7 @@ _TOGGLES = {
 }
 
 
+@pytest.mark.slow  # 6 configs x 2 settle frames of march-heavy compiles
 @pytest.mark.parametrize("toggle", sorted(_TOGGLES))
 def test_golden_pass_toggles(toggle):
     cfg = TOGGLE.replace(**_TOGGLES[toggle])

@@ -49,6 +49,7 @@ def _resources(cfg):
     return scene, pre, lut
 
 
+@pytest.mark.slow  # the pallas-parity test below covers the production path
 def test_sharded_frame_matches_single_chip_exactly():
     """One sharded step == render_frame, image AND temporal state."""
     cfg = _small_cfg()
@@ -94,6 +95,7 @@ def test_sharded_frame_matches_single_chip_exactly():
                                        err_msg=f"state leaf {name}")
 
 
+@pytest.mark.slow  # 3-frame temporal carry: 2 more full-frame compiles
 def test_sharded_frame_loop_matches_single_chip():
     """3-frame loop: temporal carry (TAA, lightgrid sweep axis rotation,
     cached sun depth, bloom pyramid) matches the single-chip loop."""
