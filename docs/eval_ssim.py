@@ -37,6 +37,18 @@ VARIANTS = {
                        gi_trace_depth_div=2),
     "trace16_d2_t1": dict(gi_fast_screen_mode="trace", gi_trace_depth_div=2,
                           gi_trace_solid_taps=1),
+    # round-4 trace diet candidates (PERF_NOTES r4): the full-res f32 depth
+    # table is the trace's dominant cost (ab_time r4: depth_div=2 553->399 ms)
+    "d2": dict(gi_trace_depth_div=2),
+    "d2min": dict(gi_trace_depth_div=2, gi_trace_depth_mode="min"),
+    "d4": dict(gi_trace_depth_div=4),
+    "s84_d2": dict(gi_trace_steps=8, gi_trace_steps2=4, gi_trace_depth_div=2),
+    "s105_d2": dict(gi_trace_steps=10, gi_trace_steps2=5,
+                    gi_trace_depth_div=2),
+    # temporal column interleave of the whole fast-GI block (r4 wave 2);
+    # the settle loop converges the cache, so this measures steady-state
+    # fidelity — motion quality is TAA-integrated dither lag (see config)
+    "il2": dict(gi_temporal_div=2),
     # the pre-champion round-3 default, for reference
     "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
                     gi_fast_skip_steps=3, gi_fast_hit_steps=8,
@@ -110,14 +122,30 @@ def main():
         ms = (time.perf_counter() - t0) / frames * 1000.0
         return np.asarray(img), ms
 
+    # reference frames cached on disk (the parity march costs ~1 s/frame x 32
+    # settle frames x 2 points + a minutes-long compile per eval process);
+    # keyed by the config/scene knobs that affect the reference image.
+    # Delete /tmp/ev_ref_cache_* after changing the reference GI path.
     rcfg = cfg0.replace(gi_mode="reference")
-    rr = Renderer(rcfg, scene, raster_backend="pallas")
-    render_ref = make_render_n(rcfg)
     refs = {}
+    key = (f"{args.width}x{args.height}_d{args.detail}_f{frames}"
+           if os.environ.get("EV_REF_CACHE", "1") == "1" else None)
+    todo = [t for t in points
+            if key is None
+            or not os.path.exists(f"/tmp/ev_ref_cache_{key}_t{t}.npy")]
+    if todo:
+        rr = Renderer(rcfg, scene, raster_backend="pallas")
+        render_ref = make_render_n(rcfg)
+        for t in todo:
+            refs[t], ref_ms = settled(rcfg, rr, render_ref, t)
+            print(f"# reference t={t} done ({ref_ms:.0f} ms/frame)",
+                  file=sys.stderr)
+            if key is not None:
+                np.save(f"/tmp/ev_ref_cache_{key}_t{t}.npy", refs[t])
     for t in points:
-        refs[t], ref_ms = settled(rcfg, rr, render_ref, t)
-        print(f"# reference t={t} done ({ref_ms:.0f} ms/frame)",
-              file=sys.stderr)
+        if t not in refs:
+            refs[t] = np.load(f"/tmp/ev_ref_cache_{key}_t{t}.npy")
+            print(f"# reference t={t} loaded from cache", file=sys.stderr)
 
     def timed(cfg, rend):
         # bench.py's timing loop: camera-path batches nudged per rep

@@ -19,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def collect(detail, frames, width, height, trace_dir):
+def collect(detail, frames, width, height, trace_dir, overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -30,6 +30,16 @@ def collect(detail, frames, width, height, trace_dir):
     from vulkan_pbr_renderer_tpu.config import RenderConfig
 
     cfg = RenderConfig(width=width, height=height)
+    if overrides:
+        def parse(v):
+            for conv in (int, float):
+                try:
+                    return conv(v)
+                except ValueError:
+                    pass
+            return {"True": True, "False": False}.get(v, v)
+        cfg = cfg.replace(**{k: parse(v) for k, v in
+                             (kv.split(":") for kv in overrides.split(","))})
     backend = "pallas"
     parts = suntemple.build_parts(detail=detail)
     scene = build_scene(parts, suntemple.materials(), texture_size=256)
@@ -196,10 +206,12 @@ def main():
                     help="per-HLO-instruction table with source lines")
     ap.add_argument("--type", default=None,
                     help="with --hlo: filter category substring (e.g. gather)")
+    ap.add_argument("--config", default=None,
+                    help="RenderConfig overrides, kw:v,kw:v")
     args = ap.parse_args()
     if not args.summarize_only:
         collect(args.detail, args.frames, args.width, args.height,
-                args.trace_dir)
+                args.trace_dir, overrides=args.config)
     if args.hlo:
         summarize_hlo(args.trace_dir, args.frames, type_filter=args.type)
     else:

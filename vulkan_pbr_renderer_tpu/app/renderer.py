@@ -55,6 +55,10 @@ class FrameState(NamedTuple):
                                     # excess over (tile_capacity,
                                     # pair_capacity) means dropped triangles;
                                     # host checks via Renderer.check_overflow
+    gi_cache: jnp.ndarray           # [2,Hg,Wg,3] temporal fast-GI cache
+                                    # (ambient, specular) for the
+                                    # cfg.gi_temporal_div column interleave;
+                                    # zeros((2,1,1,3)) when inactive
 
 
 class CameraState(NamedTuple):
@@ -101,6 +105,10 @@ def init_frame_state(cfg: RenderConfig) -> FrameState:
         sun_angle_prev=jnp.full((2,), jnp.inf, jnp.float32),
         frame_idx=jnp.int32(0),
         raster_overflow=jnp.zeros((2,), jnp.int32),
+        gi_cache=(jnp.zeros((2, h // cfg.gi_res_divisor,
+                             w // cfg.gi_res_divisor, 3), jnp.float32)
+                  if lighting.gi_temporal_active(cfg)
+                  else jnp.zeros((2, 1, 1, 3), jnp.float32)),
     )
 
 
@@ -328,8 +336,13 @@ def render_frame(
         prev_frame_atlas=state.prev_pyramid,
     )
     with jax.named_scope("p5_lighting"):
+        gi_cache = state.gi_cache
         if cfg.visualize_lightgrid:
             hdr = lighting.visualize_lightgrid_pass(glob, res, cfg, w, h)
+        elif lighting.gi_temporal_active(cfg):
+            hdr, gi_cache = lighting.lighting_pass(
+                gbuf, glob, res, cfg, gi_cache=state.gi_cache,
+                frame_idx=frame_idx)
         else:
             hdr = lighting.lighting_pass(gbuf, glob, res, cfg)
 
@@ -348,6 +361,7 @@ def render_frame(
         raster_overflow=jnp.maximum(
             state.raster_overflow, jnp.maximum(sun_ovf, main_ovf)
         ),
+        gi_cache=gi_cache,
     )
     return new_state, final
 

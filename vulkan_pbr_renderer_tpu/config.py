@@ -64,6 +64,21 @@ class RenderConfig:
                                            # TAA-integrated; specular keeps
                                            # gi_res_divisor for reflections)
     shaft_res_divisor: int = 4
+    gi_temporal_div: int = 1               # 1 = off; 2 = temporally
+                                           # interleave the fast-GI march +
+                                           # screen trace: each frame computes
+                                           # alternating half-res COLUMNS
+                                           # (parity = frame_idx % 2) into a
+                                           # persistent per-lane cache
+                                           # (FrameState.gi_cache) and shades
+                                           # from the cache — halves the
+                                           # gather-bound GI block; converges
+                                           # in 2 frames statically, one-frame
+                                           # -stale lanes in motion (TAA
+                                           # integrates, like the march's own
+                                           # noise dither).  Single-chip only
+                                           # (parallel/sharding.py forces 1,
+                                           # like the res divisors).
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
@@ -138,16 +153,39 @@ class RenderConfig:
     gi_trace_solid_taps: int = 1           # 3 = reference-exact (glsl:348);
                                            # 1 = midpoint economy (measured
                                            # equal: docs/eval_ssim r3)
-    gi_trace_depth_div: int = 1            # 1 = full-res depth (exact);
-                                           # 2/4 = min-reduced table (perf)
-    gi_trace_unroll: int = 24              # steps per XLA while iteration;
+    gi_trace_depth_div: int = 2            # 1 = full-res depth (exact);
+                                           # 2/4 = reduced table.  2 is the
+                                           # r4 default: the [H,W] f32 table
+                                           # is the trace's dominant cost
+                                           # (interleaved ab_time 548.5 ->
+                                           # 399.7 ms/frame at div 2) and
+                                           # plain-subsample div 2 holds
+                                           # full-res SSIM 0.9889 (div 4:
+                                           # 0.9750 — too coarse)
+    gi_trace_depth_mode: str = "plain"     # reduction for the trace table:
+                                           # "plain" = [::k,::k] subsample
+                                           # (unbiased quantization of the
+                                           # sample positions; one-time ~6 ms
+                                           # strided-slice gather), "min" =
+                                           # reduce_window min (free but
+                                           # dilates silhouettes one texel
+                                           # nearer -> false resolves; r4
+                                           # eval_ssim: min 0.9846 vs plain —
+                                           # see PERF_NOTES r4)
+    gi_trace_unroll: int = 6               # steps per XLA while iteration;
                                            # >= the step budget emits straight-
-                                           # line code (numerically identical —
-                                           # an XLA while iteration at [H/2,
-                                           # W/2] costs ~5 ms REGARDLESS of
-                                           # body, so the 6 wrapped iterations
-                                           # of unroll=6 cost ~30 ms/frame of
-                                           # pure loop tax (A/B below)
+                                           # line code (numerically identical
+                                           # decisions, float-ulp op-order
+                                           # deltas — tests/test_gi_trace.py).
+                                           # r4 interleaved A/B with the v2
+                                           # scalar-s body: unroll=6 398.9 vs
+                                           # full-unroll 399.7 ms — EQUAL at
+                                           # a fraction of the compile (the
+                                           # r3 "~5 ms/iter loop tax" was
+                                           # paid by the 14-channel v1 state,
+                                           # not the loop itself; full unroll
+                                           # was the dominant term of r3's
+                                           # 185 s first compile)
     gi_fast_probe_to_stop: bool = False    # probe the [surface, march-stop]
                                            # segment instead of [surface,
                                            # first-open] (measured WORSE:
@@ -208,6 +246,16 @@ class RenderConfig:
                                            # hit boundaries like the
                                            # reference's noise-scaled trace
                                            # start (glsl:301); 0 = off
+    gi_trace_impl: str = "v2"              # "v2" = the r4 scalar-s trace
+                                           # (squared-norm occlusion, closed-
+                                           # form unprojection, 7-ch state);
+                                           # "v1" = the r3 carried-pos form
+                                           # (kept for the in-process A/B)
+    gi_fog_unroll: int = 1                 # fog-march fori_loop unroll (r4
+                                           # A/B: in-process ab_time decides;
+                                           # unrolling a gather-bound body
+                                           # can HURT by growing the working
+                                           # set)
     gi_fast_probe_depth_div: int = 2       # probe z-test depth reduction: 2 =
                                            # min-2x2 half res (2 MB table at
                                            # ~140 M rows/s), 4 = min-4x4

@@ -213,8 +213,12 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
     sp = mesh.shape["sp"]
     # reduced-res GI/shaft upsampling would clamp at shard edges and seam;
     # with the work already spread over chips, run those passes at full res
+    # (gi_temporal_div likewise: the column-interleave cache is a
+    # single-chip latency optimization — with dp*sp chips the GI block is
+    # already divided by sp, and a row-sharded stale-column cache would need
+    # its own all_gather to stay seam-free)
     cfg = cfg.replace(gi_res_divisor=1, gi_res_divisor_diffuse=1,
-                      shaft_res_divisor=1)
+                      shaft_res_divisor=1, gi_temporal_div=1)
     h, w = cfg.height, cfg.width
     if raster_backend == "pallas":
         assert h % (sp * 32) == 0, "height must be divisible by sp*tile_h"
@@ -331,6 +335,7 @@ def sharded_frame_fn(scene, cfg: RenderConfig, mesh: Mesh, raster_backend="xla")
                 state.raster_overflow,
                 jax.lax.pmax(jnp.maximum(sun_ovf, main_ovf), "sp"),
             ),
+            gi_cache=state.gi_cache,
         )
         return new_state, final
 

@@ -171,26 +171,42 @@ def voxelize_scene(
     # stream expansion by scatter + cummax (searchsorted costs O(P log N)
     # gathers — see raster/binning.py for the pattern)
     n_tris = counts.shape[0]
-    pid = jnp.arange(total_samples, dtype=jnp.int32)
-    scat = jnp.where(counts > 0, offsets, total_samples)
-    arr = jnp.full((total_samples,), -1, jnp.int32)
-    tri_of = jnp.clip(
-        jax.lax.cummax(arr.at[scat].max(jnp.arange(n_tris, dtype=jnp.int32))),
-        0, n_tris - 1,
-    )
-    run_start = jnp.maximum(
-        jax.lax.cummax(jnp.full((total_samples,), -1, jnp.int32).at[scat].max(offsets)),
-        0,
-    )
+    tri_ids = jnp.arange(n_tris, dtype=jnp.int32)
     if shard_count > 1:
-        # the cheap int fills above run over the full stream on every shard;
-        # the expensive per-sample work below runs on this shard's slice only
+        # Sharded fills (VERDICT r3 #9): each shard builds tri_of/run_start
+        # for ITS [start, start+s_len) slice only — O(total/sp) cummax work
+        # instead of the full-stream fill every shard used to run.  Runs
+        # whose start falls inside the slice scatter locally; the run already
+        # in flight at `start` is the CARRY-IN triangle = (#offsets <= start)
+        # - 1 (a dense O(T) reduction — counts are all >= 1 so offsets is
+        # strictly increasing and every offset is a live run start), seeded
+        # at local position 0.  Values are bit-identical to slicing the
+        # full-stream fills (tests/test_parallel.py shard-invariance).
         assert total_samples % shard_count == 0
         s_len = total_samples // shard_count
         start = jnp.asarray(shard_idx, jnp.int32) * s_len
-        pid = jax.lax.dynamic_slice_in_dim(pid, start, s_len)
-        tri_of = jax.lax.dynamic_slice_in_dim(tri_of, start, s_len)
-        run_start = jax.lax.dynamic_slice_in_dim(run_start, start, s_len)
+        pid = start + jnp.arange(s_len, dtype=jnp.int32)
+        loc = offsets - start
+        scat_l = jnp.where((loc >= 0) & (loc < s_len), loc, s_len)
+        carry_tri = jnp.sum((offsets <= start).astype(jnp.int32)) - 1
+        tri_sc = jnp.full((s_len,), -1, jnp.int32).at[scat_l].max(tri_ids)
+        tri_sc = tri_sc.at[0].max(carry_tri)
+        tri_of = jnp.clip(jax.lax.cummax(tri_sc), 0, n_tris - 1)
+        rs_sc = jnp.full((s_len,), -1, jnp.int32).at[scat_l].max(offsets)
+        rs_sc = rs_sc.at[0].max(offsets[carry_tri])
+        run_start = jnp.maximum(jax.lax.cummax(rs_sc), 0)
+    else:
+        pid = jnp.arange(total_samples, dtype=jnp.int32)
+        scat = jnp.where(counts > 0, offsets, total_samples)
+        arr = jnp.full((total_samples,), -1, jnp.int32)
+        tri_of = jnp.clip(jax.lax.cummax(arr.at[scat].max(tri_ids)),
+                          0, n_tris - 1)
+        run_start = jnp.maximum(
+            jax.lax.cummax(
+                jnp.full((total_samples,), -1, jnp.int32).at[scat].max(offsets)
+            ),
+            0,
+        )
     local = pid - run_start
     in_range = pid < total
 
@@ -376,7 +392,8 @@ def _sample_nearest_grid(fgrid, ro):
 def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
                         skip_steps=4, open_thresh=0.3, march_steps=8,
                         hit_thresh=0.3, step_scale=1.0, foggyness=0.5,
-                        noise=None, trilinear_grid=None, jitter_scale=1.0):
+                        noise=None, trilinear_grid=None, jitter_scale=1.0,
+                        unroll=1):
     """Reference-structured fast GI: the EXACT phase A + phase C march of
     SampleRadianceWithScreenSpaceTrace (lighting_pass.glsl:280-288, 399-423)
     on an 8-byte nearest-sampled rgba grid (pack_grid_f16_nearest).
@@ -426,7 +443,8 @@ def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
         for i in range(skip_steps):
             carry = body_skip(i, carry)
     else:
-        carry = jax.lax.fori_loop(0, skip_steps, body_skip, carry)
+        carry = jax.lax.fori_loop(0, skip_steps, body_skip, carry,
+                                  unroll=min(unroll, skip_steps))
     ro_open, found, seed = carry
 
     # phase C: sum seeded with (first-open rgb, 1) (glsl:288 -> 399)
@@ -459,7 +477,8 @@ def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
         for i in range(march_steps):
             carry = body_fog(i, carry)
     else:
-        carry = jax.lax.fori_loop(0, march_steps, body_fog, carry)
+        carry = jax.lax.fori_loop(0, march_steps, body_fog, carry,
+                                  unroll=min(unroll, march_steps))
     ro_stop, sum4, hit = carry
 
     rgb = _tone(sum4)
@@ -590,7 +609,11 @@ def _skip_blockage(grid, ro, rd, steps, open_thresh, alpha_grid=None):
 
 
 def _voxel_march(grid, ro, rd, sum4, num_steps, foggyness, accumulate_fog):
-    """March until hitting a voxel with alpha > 0.3 (glsl:257-265 / 409-418)."""
+    """March until hitting a voxel with alpha > 0.3 (glsl:257-265 / 409-418).
+
+    Deliberately a PLAIN fori_loop: unrolling it (and the parity trace loop)
+    was A/B'd on TPU in r4 — no runtime win (the gather-bound body hides the
+    loop overhead) and the reference-mode compile grew ~4x."""
 
     def body(i, carry):
         ro_c, sum_c, stopped = carry
@@ -883,8 +906,8 @@ def screen_probe_multi(ro_grid_ndc, open_grid_ndc, lightgrid_scale,
     return best_hit, prev * ss_intensity
 
 
-def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs, fb_rgb,
-                        clip_from_view, view_from_clip, world_from_view,
+def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs,
+                        clip_from_view, world_from_view,
                         lightgrid_scale, noise_01,
                         steps=16, rounds=2, steps2=6, solid_taps=3,
                         unroll=6):
@@ -918,10 +941,173 @@ def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs, fb_rgb,
     (glsl:361 `continue`); resolve lod = post-growth step_length (glsl:377,
     fetched by the caller at the returned uv/slen).
 
+    Round-4 restructure (the trace cost ~230 ms of the r3 552 ms frame; its
+    dense per-step math was half of it): the body is re-parameterized on ONE
+    per-lane scalar — s, the travelled distance in the reference's
+    XY-normalized units — instead of carrying the 3-D ray position:
+
+      * the step vector is always collinear with ss_dir (growth and boost
+        scale its LENGTH only), so pos_vs = p0 + s*dir EXACTLY and the clip
+        coords are linear in s: clip = c0 + s*cd — 3 madds/step vs a 4x4
+        transform_points;
+      * the euclidean occlusion test compares SQUARED norms (monotonic-
+        equivalent, drops 2 sqrt/step): |pos|^2 = a + (2b + c*s)*s from 3
+        precomputed per-lane scalars, and |surf|^2 via the CLOSED-FORM
+        inverse of the pure perspective clip_from_view (z_view =
+        P23/(d - P22), math3d.perspective_lh_zo — this function requires a
+        perspective clip_from_view, which Globals always carries) — no
+        per-step view_from_clip transform or divide chain;
+      * the carried state shrinks 14 -> 7 channels; the frozen crossing's
+        surface point is reconstructed once per solidity round from the
+        recorded (uv, depth) instead of being carried.
+
+    Mathematically identical to the r3 form, different float-op order — the
+    0.98-SSIM goldens and the full-res eval_ssim A/B pin the result.
+
     Returns (status, res_uv, res_slen) with status 0/2 = fall through to
-    the voxel-march result, 1 = off-screen fallback (use fb_rgb), 3 =
-    screen-resolved (sample the prev-frame atlas at res_uv, lod res_slen*5).
+    the voxel-march result, 1 = off-screen fallback (the caller substitutes
+    its lightgrid fallback sample there), 3 = screen-resolved (sample the
+    prev-frame atlas at res_uv, lod res_slen*5).
     """
+    to_open = open_vs - p0_vs
+    step_len0 = jnp.maximum(p0_vs[..., 2], 1.0) * (1.0 + noise_01) / 100.0
+    ss_dir = to_open / jnp.maximum(
+        jnp.linalg.norm(to_open[..., :2], axis=-1, keepdims=True), 1e-8
+    )
+    dist_to_travel = jnp.linalg.norm(to_open, axis=-1)
+
+    m = clip_from_view
+    p00, p11, p22, p23 = m[0, 0], m[1, 1], m[2, 2], m[2, 3]
+    inv00 = 1.0 / (p00 * p00)
+    inv11 = 1.0 / (p11 * p11)
+    # clip-space line (x, y, w rows; w = z_view since M[3] = (0,0,1,0))
+    c0x = p00 * p0_vs[..., 0]
+    cdx = p00 * ss_dir[..., 0]
+    c0y = p11 * p0_vs[..., 1]
+    cdy = p11 * ss_dir[..., 1]
+    c0w = p0_vs[..., 2]
+    cdw = ss_dir[..., 2]
+    # |p0 + s*dir|^2 = a2 + (b2 + c2*s)*s
+    a2 = jnp.sum(p0_vs * p0_vs, -1)
+    b2 = 2.0 * jnp.sum(p0_vs * ss_dir, -1)
+    c2 = jnp.sum(ss_dir * ss_dir, -1)
+
+    shape = step_len0.shape
+    st = dict(
+        slen=step_len0,
+        trav=jnp.zeros(shape, jnp.float32),
+        # 0 marching, 1 offscreen-fallback, 2 exhausted (voxel march),
+        # 3 resolved, 4 frozen at a depth crossing (solidity pending)
+        status=jnp.zeros(shape, jnp.int32),
+        res_uv=jnp.zeros(shape + (2,), jnp.float32),
+        res_d=jnp.ones(shape, jnp.float32),
+    )
+
+    def body(i, st):
+        active = st["status"] == 0
+        s = jnp.where(active, st["trav"] + st["slen"], st["trav"])
+
+        cx = c0x + s * cdx
+        cy = c0y + s * cdy
+        cw = c0w + s * cdw
+        iw = 1.0 / jnp.where(jnp.abs(cw) < 1e-8, 1e-8, cw)
+        nx = cx * iw
+        ny = cy * iw
+        offscreen = (jnp.maximum(jnp.abs(nx), jnp.abs(ny)) > 1.0) & active
+        status = jnp.where(offscreen, 1, st["status"])
+
+        slen = jnp.where(active, st["slen"] * 1.2, st["slen"])
+
+        uv = jnp.stack([nx * 0.5 + 0.5, ny * 0.5 + 0.5], -1)
+        # blocked 32B-row depth fetch — bit-exact sample_nearest at ~2x the
+        # gather rate (sampling.sample_nearest8 rationale; the per-step depth
+        # fetch is the trace's entire cost: 36 fetches/frame = 134 ms as
+        # 4-byte rows in the r3 wave-14 hlo profile)
+        d = sampling.sample_nearest8(depth_tex, uv)
+        zv = p23 / (d - p22)            # d <= 1 < P22, so the denom is < 0
+        surf2 = zv * zv * (nx * nx * inv00 + ny * ny * inv11 + 1.0)
+        pos2 = a2 + (b2 + c2 * s) * s
+        hit = (surf2 < pos2) & active & ~offscreen
+        status = jnp.where(hit, 4, status)
+        res_uv = jnp.where(hit[..., None], uv, st["res_uv"])
+        res_d = jnp.where(hit, d, st["res_d"])
+
+        done = (s > dist_to_travel) & active & ~offscreen & ~hit
+        status = jnp.where(done, 2, status)
+        return dict(slen=slen, trav=s, status=status, res_uv=res_uv,
+                    res_d=res_d)
+
+    def solidity(st):
+        """3 alpha taps between the crossed surface and the ray (glsl:348-356);
+        resolves solid crossings, re-arms translucent ones with the boosted
+        step (glsl:357-361).  The frozen crossing's ray point is p0 +
+        trav*dir (trav froze with the lane); the surface point comes from the
+        recorded (uv, depth) through the same closed-form unprojection."""
+        pending = st["status"] == 4
+        pos = p0_vs + ss_dir * st["trav"][..., None]
+        rn = st["res_uv"] * 2.0 - 1.0
+        rzv = p23 / (st["res_d"] - p22)
+        surf_vs = jnp.stack(
+            [rn[..., 0] * rzv / p00, rn[..., 1] * rzv / p11, rzv], -1
+        )
+        t_start = m3.transform_points(
+            world_from_view, surf_vs
+        )[..., :3] * (lightgrid_scale * 0.5) + 0.5
+        t_end = m3.transform_points(
+            world_from_view, pos
+        )[..., :3] * (lightgrid_scale * 0.5) + 0.5
+        noff = noise_01 * 0.2
+        fracs = ((0.2, 0.4, 0.6) if solid_taps >= 3 else
+                 (0.4,) if solid_taps == 1 else (0.3, 0.5))
+        asum = 0.0
+        for k in fracs:
+            mixk = t_start + (t_end - t_start) * (noff + k)[..., None]
+            asum = asum + sampling.sample_trilinear_window(
+                alpha_grid, mixk, 1, decode=lambda v: v * (1.0 / 255.0)
+            )[..., 0]
+        solid = asum >= 0.5 * len(fracs)
+        resolve = pending & solid
+        boost = pending & ~solid
+        status = jnp.where(resolve, 3, jnp.where(boost, 0, st["status"]))
+        slen = jnp.where(boost, st["slen"] * (2.0 + noise_01), st["slen"])
+        return dict(st, status=status, slen=slen)
+
+    # unroll: an XLA while iteration at [H/2,W/2] costs ~5 ms on v5e
+    # regardless of body (measured r3: the 36-iteration trace paid +181
+    # ms/frame where its gathers price at ~60; the 28-iteration hiz trace
+    # paid the same ~5 ms/iter) — unrolling 6 steps per iteration cuts the
+    # loop overhead 6x and lets XLA fuse the dense projection math across
+    # steps, bounded compile growth.  unroll >= steps emits a plain Python
+    # loop (no while at all): numerically identical, zero per-iteration
+    # overhead, at more compile time — the A/B decides the default.
+    def run_loop(n, st):
+        if unroll >= n:
+            for i in range(n):
+                st = body(i, st)
+            return st
+        return jax.lax.fori_loop(0, n, body, st, unroll=min(unroll, n))
+
+    st = run_loop(steps, st)
+    st = solidity(st)
+    for _ in range(max(0, rounds - 1)):
+        st = run_loop(steps2, st)
+        st = solidity(st)
+    # lanes still marching at the budget: fall through to the voxel march,
+    # like the parity path's own max_ss_steps bound
+    status = jnp.where(st["status"] == 0, 2, st["status"])
+    return status, st["res_uv"], st["slen"]
+
+
+def screen_trace_linear_v1(depth_tex, alpha_grid, p0_vs, open_vs, fb_rgb,
+                        clip_from_view, view_from_clip, world_from_view,
+                        lightgrid_scale, noise_01,
+                        steps=16, rounds=2, steps2=6, solid_taps=3,
+                        unroll=6):
+    """The r3 form of screen_trace_linear (carried 3-D ray pos,
+    per-step 4x4 transforms, euclidean norms) — kept temporarily for the
+    in-process ab_time A/B against the v2 rewrite (docs/PERF_NOTES.md r4
+    wave log); selected by cfg.gi_trace_impl="v1".  Same contract and
+    reference citations as screen_trace_linear."""
     to_open = open_vs - p0_vs
     step_len0 = jnp.maximum(p0_vs[..., 2], 1.0) * (1.0 + noise_01) / 100.0
     ss_dir = to_open / jnp.maximum(
@@ -1473,6 +1659,10 @@ def sample_radiance_with_screen_trace(
         return dict(pos=pos, step=step, slen=slen, trav=trav, status=status,
                     res_uv=res_uv, res_slen=res_slen)
 
+    # plain fori_loop: unroll=6 was A/B'd on TPU in r4 — reference-GI
+    # 995-1004 ms vs 977 (no win; the body's 4 gather rows hide the loop
+    # overhead) at ~4x the compile time, so it was reverted (VERDICT r3 #4
+    # evidence, PERF_NOTES r4 wave log)
     st = jax.lax.fori_loop(0, max_ss_steps, ss_body, st0)
     # lanes that ran out of iterations: treat like distance-exhausted
     status = jnp.where(st["status"] == 0, 2, st["status"])

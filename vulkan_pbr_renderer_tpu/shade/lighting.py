@@ -118,6 +118,20 @@ def _up(x, h, w):
     return x
 
 
+def gi_temporal_active(cfg):
+    """True when the temporal fast-GI interleave (cfg.gi_temporal_div) can
+    run: fast march mode, matching diffuse/specular GI resolution, and an
+    even number of half-res columns to split.  app.renderer.init_frame_state
+    sizes FrameState.gi_cache by this, and render_frame plumbs the cache
+    through lighting_pass when it holds."""
+    kg = cfg.gi_res_divisor
+    return (cfg.gi_temporal_div >= 2 and cfg.enable_gi
+            and cfg.gi_mode == "fast" and cfg.gi_fast_march
+            and (cfg.gi_res_divisor_diffuse or kg) == kg
+            and cfg.height % kg == 0 and cfg.width % kg == 0
+            and (cfg.width // kg) % 2 == 0)
+
+
 def lighting_pass(
     g,                      # GBuffer
     glob: Globals,
@@ -126,12 +140,23 @@ def lighting_pass(
     row_offset=0,
     full_height=None,
     depth_full=None,
+    gi_cache=None,
+    frame_idx=None,
 ):
-    """Returns the HDR lighting result [H,W,3].
+    """Returns the HDR lighting result [H,W,3] — or (hdr, new_gi_cache) when
+    gi_cache is passed (the cfg.gi_temporal_div interleave; single-chip only).
 
     For the row-sharded multi-chip path, pass row_offset/full_height and a
     gathered full-screen depth (depth_full) so the GI screen-space trace can
-    march outside the shard's rows."""
+    march outside the shard's rows.
+
+    Temporal interleave (gi_cache is not None, requires gi_temporal_active):
+    the two gather-bound march_resolve calls (ambient + specular — together
+    the largest block of the frame) run on alternating half-res COLUMNS
+    (parity = frame_idx % 2) and merge into the persistent [2,Hg,Wg,3] cache;
+    shading consumes the cache, so the untouched half is one frame stale —
+    statically it converges in 2 frames, in motion TAA integrates it exactly
+    like the march's own per-frame noise dither."""
     h, w = g.depth.shape
     fh = full_height or h
     base_color = g.base_color
@@ -352,7 +377,15 @@ def lighting_pass(
 
             depth_half = _min_depth(cfg.gi_fast_probe_depth_div)
             if cfg.gi_fast_screen_mode == "trace":
-                trace_tbl = _min_depth(cfg.gi_trace_depth_div)
+                kdt = cfg.gi_trace_depth_div
+                if kdt > 1 and cfg.gi_trace_depth_mode == "plain":
+                    # unbiased position quantization (vs min's one-texel
+                    # silhouette dilation -> false resolves); the strided
+                    # slice is a one-time ~6 ms gather, repaid ~25x by the
+                    # smaller table's gather rate (config.gi_trace_depth_mode)
+                    trace_tbl = trace_depth[::kdt, ::kdt]
+                else:
+                    trace_tbl = _min_depth(kdt)
             if cfg.gi_fast_screen_probe and cfg.gi_fast_screen_mode == "hiz":
                 # one min-depth pyramid shared by the diffuse + specular
                 # traces (and, sharded, identical on every shard — built from
@@ -375,6 +408,7 @@ def lighting_pass(
                         trilinear_grid=(wgrid if cfg.gi_fast_fog_trilinear
                                         else None),
                         jitter_scale=cfg.gi_fast_jitter_scale,
+                        unroll=cfg.gi_fog_unroll,
                     )
                 else:
                     rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_march(
@@ -399,16 +433,27 @@ def lighting_pass(
                               + 2.5 * v_cam * voxel_step)
                     fb = gi.grid_sample(wgrid, fb_pos)
                     fb_rgb = colorlib.tone_compress_sqrt(fb[..., :3])
-                    status, res_uv, res_slen = gi.screen_trace_linear(
-                        trace_tbl, walpha, pv, open_vs, fb_rgb,
-                        glob.clip_from_view, glob.view_from_clip,
-                        glob.world_from_view, cfg.lightgrid_scale, noise,
+                    trace_kw = dict(
                         steps=cfg.gi_trace_steps,
                         rounds=cfg.gi_trace_rounds,
                         steps2=cfg.gi_trace_steps2,
                         solid_taps=cfg.gi_trace_solid_taps,
                         unroll=cfg.gi_trace_unroll,
                     )
+                    if cfg.gi_trace_impl == "v1":
+                        status, res_uv, res_slen = gi.screen_trace_linear_v1(
+                            trace_tbl, walpha, pv, open_vs, fb_rgb,
+                            glob.clip_from_view, glob.view_from_clip,
+                            glob.world_from_view, cfg.lightgrid_scale, noise,
+                            **trace_kw,
+                        )
+                    else:
+                        status, res_uv, res_slen = gi.screen_trace_linear(
+                            trace_tbl, walpha, pv, open_vs,
+                            glob.clip_from_view,
+                            glob.world_from_view, cfg.lightgrid_scale, noise,
+                            **trace_kw,
+                        )
                     lod = jnp.minimum(res_slen * 5.0, 5.0)
                     prev = sampling.sample_mip_atlas(
                         res.prev_frame_atlas, fh // 2, w // 2, res_uv, lod,
@@ -485,17 +530,45 @@ def lighting_pass(
                     rgb = jnp.where(res_m[..., None], ss_rgb, rgb)
                 return rgb
 
+            interleave = gi_cache is not None
+            if interleave:
+                assert gi_temporal_active(cfg)
+                par = (frame_idx % 2).astype(jnp.int32)
+
+                def _half(x):
+                    # the parity-selected alternating columns, contiguous:
+                    # roll by a TRACED shift then stride (a static slice of a
+                    # dynamic rotation — both lower cheaply)
+                    return jnp.roll(x, -par, axis=1)[:, ::2]
+
+                def _merge(slot, half_val):
+                    # write the freshly-traced columns back into the cache
+                    # slot at their parity positions
+                    cr = jnp.roll(slot, -par, axis=1)
+                    cr = cr.at[:, ::2].set(half_val)
+                    return jnp.roll(cr, par, axis=1)
+
             kdif = cfg.gi_res_divisor_diffuse or kg
             if kdif != kg:
                 nd_d, _, pwd_d, pvd_d, (n1dd, _, n3dd) = sub_inputs(kdif)
                 bent_d = bent_normal_cosine(nd_d, n1dd, n3dd)
             else:
                 pwd_d, pvd_d, bent_d, n3dd = pwd, pvd, bent, n3d
-            ambient = march_resolve(
-                pwd_d, bent_d, cfg.gi_fast_hit_steps,
-                cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity, n3dd,
-                foggyness=cfg.gi_diffuse_foggyness, pv=pvd_d,
-            )
+            if interleave:
+                amb_h = march_resolve(
+                    _half(pwd_d), _half(bent_d), cfg.gi_fast_hit_steps,
+                    cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity,
+                    _half(n3dd), foggyness=cfg.gi_diffuse_foggyness,
+                    pv=_half(pvd_d),
+                )
+                cache_amb = _merge(gi_cache[0], amb_h)
+                ambient = cache_amb
+            else:
+                ambient = march_resolve(
+                    pwd_d, bent_d, cfg.gi_fast_hit_steps,
+                    cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity,
+                    n3dd, foggyness=cfg.gi_diffuse_foggyness, pv=pvd_d,
+                )
         elif cfg.gi_mode == "fast":
             ambient, ro_open = gi.sample_radiance_fast(
                 wgrid, pwd, bent, cfg.lightgrid_scale, **fast_kw
@@ -539,11 +612,24 @@ def lighting_pass(
         r = r + (nd - r) * (r2 * r2)[..., None]   # bias toward N (glsl:697)
         spec_fog = roughd if cfg.gi_specular_foggyness_is_roughness else 0.9
         if cfg.gi_mode == "fast" and cfg.gi_fast_march:
-            spec = march_resolve(
-                pwd, r, cfg.gi_fast_hit_steps_spec,
-                cfg.gi_fast_hit_step_scale_spec, cfg.gi_specular_ss_intensity,
-                n3d, foggyness=spec_fog, pv=pvd,
-            )
+            if interleave:
+                spec_h = march_resolve(
+                    _half(pwd), _half(r), cfg.gi_fast_hit_steps_spec,
+                    cfg.gi_fast_hit_step_scale_spec,
+                    cfg.gi_specular_ss_intensity, _half(n3d),
+                    foggyness=(_half(spec_fog) if jnp.ndim(spec_fog)
+                               else spec_fog),
+                    pv=_half(pvd),
+                )
+                cache_spec = _merge(gi_cache[1], spec_h)
+                spec = cache_spec
+            else:
+                spec = march_resolve(
+                    pwd, r, cfg.gi_fast_hit_steps_spec,
+                    cfg.gi_fast_hit_step_scale_spec,
+                    cfg.gi_specular_ss_intensity,
+                    n3d, foggyness=spec_fog, pv=pvd,
+                )
         elif cfg.gi_mode == "fast":
             spec, ro_open_s = gi.sample_radiance_fast(
                 wgrid, pwd, r, cfg.lightgrid_scale, dist_voxels=4.0, **fast_kw
@@ -628,7 +714,10 @@ def lighting_pass(
         )
     outgoing = jnp.where(out_of_bounds[..., None], sky, outgoing)
 
-    return jnp.maximum(outgoing, 0.0)
+    out = jnp.maximum(outgoing, 0.0)
+    if gi_cache is not None:
+        return out, jnp.stack([cache_amb, cache_spec])
+    return out
 
 
 def visualize_lightgrid_pass(glob: Globals, res: LightingResources, cfg, width, height):
