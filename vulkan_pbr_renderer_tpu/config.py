@@ -256,6 +256,17 @@ class RenderConfig:
                                            # unrolling a gather-bound body
                                            # can HURT by growing the working
                                            # set)
+    gi_early_exit: bool = False            # stop the GI march/trace loops
+                                           # once EVERY lane froze
+                                           # (gi._fori_early_exit — bit-exact,
+                                           # finished lanes are masked
+                                           # identities; the step budgets
+                                           # cover the worst camera, typical
+                                           # frames converge in fewer).
+                                           # Applies to the parity trace +
+                                           # voxel marches and the fast fog
+                                           # march/trace; default decided by
+                                           # TPU ab_time (r4)
     gi_fast_probe_depth_div: int = 2       # probe z-test depth reduction: 2 =
                                            # min-2x2 half res (2 MB table at
                                            # ~140 M rows/s), 4 = min-4x4

@@ -409,6 +409,7 @@ def lighting_pass(
                                         else None),
                         jitter_scale=cfg.gi_fast_jitter_scale,
                         unroll=cfg.gi_fog_unroll,
+                        early_exit=cfg.gi_early_exit,
                     )
                 else:
                     rgb, ro_open, ro_stop, hitm, _ = gi.sample_radiance_march(
@@ -440,6 +441,8 @@ def lighting_pass(
                         solid_taps=cfg.gi_trace_solid_taps,
                         unroll=cfg.gi_trace_unroll,
                     )
+                    if cfg.gi_trace_impl != "v1":
+                        trace_kw["early_exit"] = cfg.gi_early_exit
                     if cfg.gi_trace_impl == "v1":
                         status, res_uv, res_slen = gi.screen_trace_linear_v1(
                             trace_tbl, walpha, pv, open_vs, fb_rgb,
@@ -597,7 +600,7 @@ def lighting_pass(
                 cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
                 max_ss_steps=cfg.gi_screen_trace_steps,
                 prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
-                alpha_grid=walpha,
+                alpha_grid=walpha, early_exit=cfg.gi_early_exit,
             )
         ks = brdf.fresnel_schlick(v_dot_n, f0)
         kd = (1.0 - ks) * (1.0 - metallic[..., None])
@@ -658,7 +661,7 @@ def lighting_pass(
                 spec_fog, cfg.gi_specular_ss_intensity,
                 max_ss_steps=cfg.gi_screen_trace_steps,
                 prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
-                alpha_grid=walpha,
+                alpha_grid=walpha, early_exit=cfg.gi_early_exit,
             )
         outgoing = outgoing + _up(spec, h, w) * (f0 * fresnel_scale + fresnel_bias)
     elif cfg.enable_ibl:
