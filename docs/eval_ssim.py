@@ -48,7 +48,17 @@ VARIANTS = {
     # temporal column interleave of the whole fast-GI block (r4 wave 2);
     # the settle loop converges the cache, so this measures steady-state
     # fidelity — motion quality is TAA-integrated dither lag (see config)
-    "il2": dict(gi_temporal_div=2),
+    "il2": dict(gi_temporal_div=2, gi_temporal_pattern="columns",
+                gi_temporal_ema=0.0),
+    # r4 wave-3 fixes for il2's 0.9675: checkerboard staleness (highest
+    # spatial frequency — upsample+TAA average it away) and EMA cache merge
+    # (integrates the march noise instead of flip-flopping 2-frame samples)
+    "il2_ema": dict(gi_temporal_div=2, gi_temporal_pattern="columns",
+                    gi_temporal_ema=0.5),
+    "il2_ck": dict(gi_temporal_div=2, gi_temporal_pattern="checker",
+                   gi_temporal_ema=0.0),
+    "il2_ck_ema": dict(gi_temporal_div=2),  # = new defaults when div=2
+    "il2_ck_ema75": dict(gi_temporal_div=2, gi_temporal_ema=0.75),
     # the pre-champion round-3 default, for reference
     "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
                     gi_fast_skip_steps=3, gi_fast_hit_steps=8,

@@ -96,3 +96,34 @@ def test_visualize_lightgrid_mode():
     cam = make_camera((5.0, -6.0, 3.0), (0.0, 0.0, 1.0), cfg)
     img = np.asarray(r.render(cam))
     assert np.isfinite(img).all()
+
+
+@pytest.mark.parametrize("pattern,ema", [("columns", 0.0), ("checker", 0.5)])
+def test_gi_temporal_interleave_converges_to_full(pattern, ema):
+    """gi_temporal_div=2 (alternating half-res GI lanes into a persistent
+    cache, config.py:67) must converge to the non-interleaved frame once both
+    parities have been traced.  Not bit-equal by design: alternate lanes
+    carry the march noise of different frame indices (the same class of
+    TAA-integrated dither as the march's own jitter), so the bound is a tight
+    mean-abs one on the settled sRGB frame."""
+    scene = _test_scene()
+    cam_pos, cam_tgt = (5.0, -6.0, 3.0), (0.0, 0.0, 1.0)
+
+    def settled(div, frames=8):
+        cfg = SMALL.replace(enable_gi=True, gi_temporal_div=div,
+                            gi_temporal_pattern=pattern, gi_temporal_ema=ema)
+        r = Renderer(cfg, scene, use_cache=False)
+        cam = make_camera(cam_pos, cam_tgt, cfg)
+        for _ in range(frames):
+            img = r.render(cam)
+        return np.asarray(img), r.state
+
+    full, _ = settled(1)
+    inter, st = settled(2)
+    assert np.isfinite(inter).all()
+    # the cache was allocated and populated by both parities
+    assert st.gi_cache.shape[0] == 2
+    assert np.isfinite(np.asarray(st.gi_cache)).all()
+    assert float(jnp.abs(st.gi_cache).sum()) > 0.0
+    diff = np.abs(inter - full).mean()
+    assert diff < 0.015, f"interleaved GI drifted from full: mean|diff|={diff:.4f}"

@@ -79,6 +79,28 @@ class RenderConfig:
                                            # noise dither).  Single-chip only
                                            # (parallel/sharding.py forces 1,
                                            # like the res divisors).
+    gi_temporal_pattern: str = "checker"   # which half of the GI lanes each
+                                           # frame refreshes: "columns" =
+                                           # alternating columns (lowest-
+                                           # frequency staleness); "checker" =
+                                           # checkerboard (odd rows use the
+                                           # opposite column parity) — the
+                                           # stale pattern is then the highest
+                                           # spatial frequency, which the
+                                           # bilinear GI upsample + TAA
+                                           # average away (eval_ssim r4:
+                                           # checker+EMA 0.9860 vs columns-
+                                           # replace 0.9675)
+    gi_temporal_ema: float = 0.5           # 0 = refreshed lanes REPLACE the
+                                           # cache; >0 = exponential blend
+                                           # old*ema + fresh*(1-ema) — the
+                                           # cache then integrates the march's
+                                           # per-frame noise dither instead of
+                                           # flip-flopping between 2-frame-
+                                           # apart samples (the flip-flop is
+                                           # what cost columns-replace ~0.018
+                                           # SSIM).  First 2 frames always
+                                           # replace (cold cache).
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
@@ -158,10 +180,11 @@ class RenderConfig:
                                            # r4 default: the [H,W] f32 table
                                            # is the trace's dominant cost
                                            # (interleaved ab_time 548.5 ->
-                                           # 399.7 ms/frame at div 2) and
-                                           # plain-subsample div 2 holds
-                                           # full-res SSIM 0.9889 (div 4:
-                                           # 0.9750 — too coarse)
+                                           # 399.7 ms/frame at div 2).
+                                           # eval_ssim at the r4-w2 tree:
+                                           # div1 0.9889, div2 plain 0.9850,
+                                           # div2 min 0.9846, div4 0.9750
+                                           # (too coarse)
     gi_trace_depth_mode: str = "plain"     # reduction for the trace table:
                                            # "plain" = [::k,::k] subsample
                                            # (unbiased quantization of the

@@ -129,7 +129,9 @@ def gi_temporal_active(cfg):
             and cfg.gi_mode == "fast" and cfg.gi_fast_march
             and (cfg.gi_res_divisor_diffuse or kg) == kg
             and cfg.height % kg == 0 and cfg.width % kg == 0
-            and (cfg.width // kg) % 2 == 0)
+            and (cfg.width // kg) % 2 == 0
+            and (cfg.gi_temporal_pattern != "checker"
+                 or (cfg.height // kg) % 2 == 0))
 
 
 def lighting_pass(
@@ -537,19 +539,51 @@ def lighting_pass(
             if interleave:
                 assert gi_temporal_active(cfg)
                 par = (frame_idx % 2).astype(jnp.int32)
+                checker = cfg.gi_temporal_pattern == "checker"
+                # EMA blend of refreshed lanes into the cache (see config):
+                # the first 2 frames replace unconditionally (cold cache)
+                ema = jnp.where(frame_idx < 2, 0.0,
+                                jnp.float32(cfg.gi_temporal_ema))
+
+                def _rows(x):
+                    # split into (even-row, odd-row) planes [Hg/2, Wg, ...]
+                    return x[0::2], x[1::2]
+
+                def _cols(x, p):
+                    # the columns of parity p, contiguous: roll by a TRACED
+                    # shift then stride (a static slice of a dynamic
+                    # rotation — both lower cheaply)
+                    return jnp.roll(x, -p, axis=1)[:, ::2]
 
                 def _half(x):
-                    # the parity-selected alternating columns, contiguous:
-                    # roll by a TRACED shift then stride (a static slice of a
-                    # dynamic rotation — both lower cheaply)
-                    return jnp.roll(x, -par, axis=1)[:, ::2]
+                    # the parity-selected half of the GI lanes.  columns:
+                    # x[:, par::2].  checker: even rows take parity `par`
+                    # columns, odd rows the opposite — the stale lanes then
+                    # form the highest-frequency spatial pattern, which the
+                    # bilinear upsample + TAA average away
+                    if not checker:
+                        return _cols(x, par)
+                    ev, od = _rows(x)
+                    ev, od = _cols(ev, par), _cols(od, 1 - par)
+                    return jnp.stack([ev, od], 1).reshape(
+                        x.shape[0], x.shape[1] // 2, *x.shape[2:])
+
+                def _set_cols(slot, half_val, p):
+                    cr = jnp.roll(slot, -p, axis=1)
+                    cr = cr.at[:, ::2].set(cr[:, ::2] * ema
+                                           + half_val * (1.0 - ema))
+                    return jnp.roll(cr, p, axis=1)
 
                 def _merge(slot, half_val):
-                    # write the freshly-traced columns back into the cache
+                    # blend the freshly-traced lanes back into the cache
                     # slot at their parity positions
-                    cr = jnp.roll(slot, -par, axis=1)
-                    cr = cr.at[:, ::2].set(half_val)
-                    return jnp.roll(cr, par, axis=1)
+                    if not checker:
+                        return _set_cols(slot, half_val, par)
+                    sev, sod = _rows(slot)
+                    hev, hod = _rows(half_val)
+                    sev = _set_cols(sev, hev, par)
+                    sod = _set_cols(sod, hod, 1 - par)
+                    return jnp.stack([sev, sod], 1).reshape(slot.shape)
 
             kdif = cfg.gi_res_divisor_diffuse or kg
             if kdif != kg:
