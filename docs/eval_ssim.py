@@ -59,6 +59,15 @@ VARIANTS = {
                    gi_temporal_ema=0.0),
     "il2_ck_ema": dict(gi_temporal_div=2),  # = new defaults when div=2
     "il2_ck_ema75": dict(gi_temporal_div=2, gi_temporal_ema=0.75),
+    # the 2-frame hold doubles the settled GI variance under TAA (measured:
+    # il2 0.9675 vs full 0.9850); EMA over-smooths instead (0.9486).  Try
+    # matching the full-rate settled variance by halving the march jitter.
+    "il2_j1": dict(gi_temporal_div=2, gi_temporal_pattern="columns",
+                   gi_temporal_ema=0.0, gi_fast_jitter_scale=1.0),
+    "il2_ck_j1": dict(gi_temporal_div=2, gi_temporal_ema=0.0,
+                      gi_fast_jitter_scale=1.0),
+    "j1": dict(gi_fast_jitter_scale=1.0),  # attribution: jitter alone
+    "s84_d2_now": dict(gi_trace_steps=8, gi_trace_steps2=4),
     # the pre-champion round-3 default, for reference
     "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
                     gi_fast_skip_steps=3, gi_fast_hit_steps=8,

@@ -86,21 +86,34 @@ class RenderConfig:
                                            # checkerboard (odd rows use the
                                            # opposite column parity) — the
                                            # stale pattern is then the highest
-                                           # spatial frequency, which the
-                                           # bilinear GI upsample + TAA
-                                           # average away (eval_ssim r4:
-                                           # checker+EMA 0.9860 vs columns-
-                                           # replace 0.9675)
-    gi_temporal_ema: float = 0.5           # 0 = refreshed lanes REPLACE the
+                                           # spatial frequency.  Settled SSIM
+                                           # is equal (eval_ssim r4: checker
+                                           # 0.9669 vs columns 0.9675);
+                                           # checker is kept for motion,
+                                           # where its staleness is sub-TAA-
+                                           # kernel instead of column bands.
+    gi_temporal_ema: float = 0.0           # 0 = refreshed lanes REPLACE the
                                            # cache; >0 = exponential blend
-                                           # old*ema + fresh*(1-ema) — the
-                                           # cache then integrates the march's
-                                           # per-frame noise dither instead of
-                                           # flip-flopping between 2-frame-
-                                           # apart samples (the flip-flop is
-                                           # what cost columns-replace ~0.018
-                                           # SSIM).  First 2 frames always
-                                           # replace (cold cache).
+                                           # old*ema + fresh*(1-ema).
+                                           # MEASURED HARMFUL (eval_ssim r4:
+                                           # ema=0.5 0.9486/0.9491 both
+                                           # patterns vs replace 0.967): the
+                                           # reference's own GI noise is TAA-
+                                           # integrated only, so an EMA'd
+                                           # cache is SMOOTHER than the
+                                           # yardstick settles to — a
+                                           # structural mismatch, not a win.
+                                           # First 2 frames always replace
+                                           # (cold cache).
+    gi_temporal_reference: bool = False    # opt-in: apply the temporal
+                                           # interleave to gi_mode=
+                                           # "reference" too (halves the full
+                                           # parity march's cost, same TAA-
+                                           # integrated staleness class).
+                                           # OFF by default so the reference
+                                           # mode stays the exact SSIM
+                                           # yardstick bench.py measures
+                                           # against.
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
@@ -283,13 +296,16 @@ class RenderConfig:
                                            # once EVERY lane froze
                                            # (gi._fori_early_exit — bit-exact,
                                            # finished lanes are masked
-                                           # identities; the step budgets
-                                           # cover the worst camera, typical
-                                           # frames converge in fewer).
-                                           # Applies to the parity trace +
-                                           # voxel marches and the fast fog
-                                           # march/trace; default decided by
-                                           # TPU ab_time (r4)
+                                           # identities).  Measured NEUTRAL
+                                           # on TPU (r4 interleaved A/B:
+                                           # fast 398.8 vs 400.3, reference
+                                           # 977.4 vs 977.8 ms/frame): at 2M
+                                           # dense lanes some ray always
+                                           # consumes the full budget, so the
+                                           # exit never fires early enough to
+                                           # pay for its all-lane reduce.
+                                           # Kept for small/partial-view
+                                           # configs where it can still win.
     gi_fast_probe_depth_div: int = 2       # probe z-test depth reduction: 2 =
                                            # min-2x2 half res (2 MB table at
                                            # ~140 M rows/s), 4 = min-4x4

@@ -119,14 +119,16 @@ def _up(x, h, w):
 
 
 def gi_temporal_active(cfg):
-    """True when the temporal fast-GI interleave (cfg.gi_temporal_div) can
-    run: fast march mode, matching diffuse/specular GI resolution, and an
-    even number of half-res columns to split.  app.renderer.init_frame_state
-    sizes FrameState.gi_cache by this, and render_frame plumbs the cache
-    through lighting_pass when it holds."""
+    """True when the temporal GI interleave (cfg.gi_temporal_div) can run:
+    fast march mode (or reference mode with the gi_temporal_reference
+    opt-in), matching diffuse/specular GI resolution, and an even number of
+    half-res columns to split.  app.renderer.init_frame_state sizes
+    FrameState.gi_cache by this, and render_frame plumbs the cache through
+    lighting_pass when it holds."""
     kg = cfg.gi_res_divisor
-    return (cfg.gi_temporal_div >= 2 and cfg.enable_gi
-            and cfg.gi_mode == "fast" and cfg.gi_fast_march
+    mode_ok = ((cfg.gi_mode == "fast" and cfg.gi_fast_march)
+               or (cfg.gi_mode == "reference" and cfg.gi_temporal_reference))
+    return (cfg.gi_temporal_div >= 2 and cfg.enable_gi and mode_ok
             and (cfg.gi_res_divisor_diffuse or kg) == kg
             and cfg.height % kg == 0 and cfg.width % kg == 0
             and (cfg.width // kg) % 2 == 0
@@ -301,6 +303,57 @@ def lighting_pass(
         nd, roughd, pwd, pvd, (n1d, n2d, n3d) = sub_inputs(kg)
         vd = m3.normalize(glob.camera_pos - pwd)
         bent = bent_normal_cosine(nd, n1d, n3d)
+
+        interleave = gi_cache is not None
+        if interleave:
+            assert gi_temporal_active(cfg)
+            par = (frame_idx % 2).astype(jnp.int32)
+            checker = cfg.gi_temporal_pattern == "checker"
+            # EMA blend of refreshed lanes into the cache (see config):
+            # the first 2 frames replace unconditionally (cold cache)
+            ema = jnp.where(frame_idx < 2, 0.0,
+                            jnp.float32(cfg.gi_temporal_ema))
+
+            def _rows(x):
+                # split into (even-row, odd-row) planes [Hg/2, Wg, ...]
+                return x[0::2], x[1::2]
+
+            def _cols(x, p):
+                # the columns of parity p, contiguous: roll by a TRACED
+                # shift then stride (a static slice of a dynamic
+                # rotation — both lower cheaply)
+                return jnp.roll(x, -p, axis=1)[:, ::2]
+
+            def _half(x):
+                # the parity-selected half of the GI lanes.  columns:
+                # x[:, par::2].  checker: even rows take parity `par`
+                # columns, odd rows the opposite — the stale lanes then
+                # form the highest-frequency spatial pattern, which the
+                # bilinear upsample + TAA average away
+                if not checker:
+                    return _cols(x, par)
+                ev, od = _rows(x)
+                ev, od = _cols(ev, par), _cols(od, 1 - par)
+                return jnp.stack([ev, od], 1).reshape(
+                    x.shape[0], x.shape[1] // 2, *x.shape[2:])
+
+            def _set_cols(slot, half_val, p):
+                cr = jnp.roll(slot, -p, axis=1)
+                cr = cr.at[:, ::2].set(cr[:, ::2] * ema
+                                       + half_val * (1.0 - ema))
+                return jnp.roll(cr, p, axis=1)
+
+            def _merge(slot, half_val):
+                # blend the freshly-traced lanes back into the cache
+                # slot at their parity positions
+                if not checker:
+                    return _set_cols(slot, half_val, par)
+                sev, sod = _rows(slot)
+                hev, hod = _rows(half_val)
+                sev = _set_cols(sev, hev, par)
+                sod = _set_cols(sod, hod, 1 - par)
+                return jnp.stack([sev, sod], 1).reshape(slot.shape)
+
         fast_kw = dict(
             skip_steps=cfg.gi_fast_skip_steps,
             open_thresh=cfg.gi_fast_open_thresh,
@@ -535,56 +588,6 @@ def lighting_pass(
                     rgb = jnp.where(res_m[..., None], ss_rgb, rgb)
                 return rgb
 
-            interleave = gi_cache is not None
-            if interleave:
-                assert gi_temporal_active(cfg)
-                par = (frame_idx % 2).astype(jnp.int32)
-                checker = cfg.gi_temporal_pattern == "checker"
-                # EMA blend of refreshed lanes into the cache (see config):
-                # the first 2 frames replace unconditionally (cold cache)
-                ema = jnp.where(frame_idx < 2, 0.0,
-                                jnp.float32(cfg.gi_temporal_ema))
-
-                def _rows(x):
-                    # split into (even-row, odd-row) planes [Hg/2, Wg, ...]
-                    return x[0::2], x[1::2]
-
-                def _cols(x, p):
-                    # the columns of parity p, contiguous: roll by a TRACED
-                    # shift then stride (a static slice of a dynamic
-                    # rotation — both lower cheaply)
-                    return jnp.roll(x, -p, axis=1)[:, ::2]
-
-                def _half(x):
-                    # the parity-selected half of the GI lanes.  columns:
-                    # x[:, par::2].  checker: even rows take parity `par`
-                    # columns, odd rows the opposite — the stale lanes then
-                    # form the highest-frequency spatial pattern, which the
-                    # bilinear upsample + TAA average away
-                    if not checker:
-                        return _cols(x, par)
-                    ev, od = _rows(x)
-                    ev, od = _cols(ev, par), _cols(od, 1 - par)
-                    return jnp.stack([ev, od], 1).reshape(
-                        x.shape[0], x.shape[1] // 2, *x.shape[2:])
-
-                def _set_cols(slot, half_val, p):
-                    cr = jnp.roll(slot, -p, axis=1)
-                    cr = cr.at[:, ::2].set(cr[:, ::2] * ema
-                                           + half_val * (1.0 - ema))
-                    return jnp.roll(cr, p, axis=1)
-
-                def _merge(slot, half_val):
-                    # blend the freshly-traced lanes back into the cache
-                    # slot at their parity positions
-                    if not checker:
-                        return _set_cols(slot, half_val, par)
-                    sev, sod = _rows(slot)
-                    hev, hod = _rows(half_val)
-                    sev = _set_cols(sev, hev, par)
-                    sod = _set_cols(sod, hod, 1 - par)
-                    return jnp.stack([sev, sod], 1).reshape(slot.shape)
-
             kdif = cfg.gi_res_divisor_diffuse or kg
             if kdif != kg:
                 nd_d, _, pwd_d, pvd_d, (n1dd, _, n3dd) = sub_inputs(kdif)
@@ -624,18 +627,39 @@ def lighting_pass(
                 hit = hit & hit_m
                 ambient = jnp.where(hit[..., None], ss_rgb, ambient)
         else:
-            ambient = gi.sample_radiance_with_screen_trace(
-                wgrid, trace_depth, res.prev_frame_atlas,
-                glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
-                glob.world_from_view,
-                vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
-                pwd, bent, cfg.lightgrid_scale,
-                cfg.gi_diffuse_steps, cfg.gi_diffuse_step_scale, n3d,
-                cfg.gi_diffuse_foggyness, cfg.gi_diffuse_ss_intensity,
-                max_ss_steps=cfg.gi_screen_trace_steps,
-                prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
-                alpha_grid=walpha, early_exit=cfg.gi_early_exit,
-            )
+            def ref_resolve(pw_, pv_, vd_, dir_, n3_, steps, step_scale,
+                            fog, intensity):
+                return gi.sample_radiance_with_screen_trace(
+                    wgrid, trace_depth, res.prev_frame_atlas,
+                    glob.view_from_world, glob.clip_from_view,
+                    glob.view_from_clip, glob.world_from_view,
+                    vd_,
+                    jnp.concatenate([pv_, jnp.ones_like(pv_[..., :1])], -1),
+                    pw_, dir_, cfg.lightgrid_scale, steps, step_scale, n3_,
+                    fog, intensity,
+                    max_ss_steps=cfg.gi_screen_trace_steps,
+                    prev_base=(fh // 2, w // 2),
+                    prev_levels=cfg.bloom_pass_count,
+                    alpha_grid=walpha, early_exit=cfg.gi_early_exit,
+                )
+
+            if interleave:
+                # opt-in (cfg.gi_temporal_reference): halves the full parity
+                # march's cost with the same TAA-integrated staleness class
+                # as the fast path; bench/eval reference legs keep div=1 so
+                # the SSIM yardstick stays exact
+                amb_h = ref_resolve(
+                    _half(pwd), _half(pvd), _half(vd), _half(bent),
+                    _half(n3d), cfg.gi_diffuse_steps,
+                    cfg.gi_diffuse_step_scale, cfg.gi_diffuse_foggyness,
+                    cfg.gi_diffuse_ss_intensity)
+                cache_amb = _merge(gi_cache[0], amb_h)
+                ambient = cache_amb
+            else:
+                ambient = ref_resolve(
+                    pwd, pvd, vd, bent, n3d, cfg.gi_diffuse_steps,
+                    cfg.gi_diffuse_step_scale, cfg.gi_diffuse_foggyness,
+                    cfg.gi_diffuse_ss_intensity)
         ks = brdf.fresnel_schlick(v_dot_n, f0)
         kd = (1.0 - ks) * (1.0 - metallic[..., None])
         outgoing = outgoing + kd * _up(ambient, h, w) * base_color
@@ -685,18 +709,20 @@ def lighting_pass(
                 hit_s = hit_s & hit_ms
                 spec = jnp.where(hit_s[..., None], ss_rgb_s, spec)
         else:
-            spec = gi.sample_radiance_with_screen_trace(
-                wgrid, trace_depth, res.prev_frame_atlas,
-                glob.view_from_world, glob.clip_from_view, glob.view_from_clip,
-                glob.world_from_view,
-                vd, jnp.concatenate([pvd, jnp.ones_like(pvd[..., :1])], -1),
-                pwd, r, cfg.lightgrid_scale,
-                cfg.gi_specular_steps, cfg.gi_specular_step_scale, n3d,
-                spec_fog, cfg.gi_specular_ss_intensity,
-                max_ss_steps=cfg.gi_screen_trace_steps,
-                prev_base=(fh // 2, w // 2), prev_levels=cfg.bloom_pass_count,
-                alpha_grid=walpha, early_exit=cfg.gi_early_exit,
-            )
+            if interleave:
+                spec_h = ref_resolve(
+                    _half(pwd), _half(pvd), _half(vd), _half(r),
+                    _half(n3d), cfg.gi_specular_steps,
+                    cfg.gi_specular_step_scale,
+                    _half(spec_fog) if jnp.ndim(spec_fog) else spec_fog,
+                    cfg.gi_specular_ss_intensity)
+                cache_spec = _merge(gi_cache[1], spec_h)
+                spec = cache_spec
+            else:
+                spec = ref_resolve(
+                    pwd, pvd, vd, r, n3d, cfg.gi_specular_steps,
+                    cfg.gi_specular_step_scale, spec_fog,
+                    cfg.gi_specular_ss_intensity)
         outgoing = outgoing + _up(spec, h, w) * (f0 * fresnel_scale + fresnel_bias)
     elif cfg.enable_ibl:
         # static split-sum IBL path (the pre-GI pipeline, geometry_pass.glsl:322-346
