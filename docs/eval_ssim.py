@@ -68,6 +68,15 @@ VARIANTS = {
                       gi_fast_jitter_scale=1.0),
     "j1": dict(gi_fast_jitter_scale=1.0),  # attribution: jitter alone
     "s84_d2_now": dict(gi_trace_steps=8, gi_trace_steps2=4),
+    # stale-lane rescue #2 (after EMA + jitter failed): spatial infill
+    # (substitute a half-texel spatial error for the temporal decorrelation)
+    # and spec-only scope (diffuse carries the indoor structure, keep it
+    # full-rate; spec is fresnel-weighted small)
+    "il2_in1": dict(gi_temporal_div=2, gi_temporal_infill=1.0),
+    "il2_in5": dict(gi_temporal_div=2, gi_temporal_infill=0.5),
+    "il2_spec": dict(gi_temporal_div=2, gi_temporal_scope="spec"),
+    "il2_spec_in1": dict(gi_temporal_div=2, gi_temporal_scope="spec",
+                         gi_temporal_infill=1.0),
     # the pre-champion round-3 default, for reference
     "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
                     gi_fast_skip_steps=3, gi_fast_hit_steps=8,

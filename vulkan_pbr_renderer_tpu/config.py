@@ -105,6 +105,25 @@ class RenderConfig:
                                            # structural mismatch, not a win.
                                            # First 2 frames always replace
                                            # (cold cache).
+    gi_temporal_scope: str = "both"        # "both" = interleave the diffuse
+                                           # AND specular GI resolves; "spec"
+                                           # = specular only (diffuse stays
+                                           # full-rate — it carries the indoor
+                                           # GI structure and its staleness
+                                           # decorrelation costs the most
+                                           # SSIM; spec is fresnel-weighted
+                                           # small indoors).  ~half the
+                                           # interleave's saving at a
+                                           # fraction of its fidelity cost.
+    gi_temporal_infill: float = 0.0        # 0 = stale lanes HOLD their cached
+                                           # value; >0 = blend them toward the
+                                           # average of their two fresh
+                                           # neighbors (same row): stale =
+                                           # (1-w)*cache + w*avg(fresh L/R) —
+                                           # substitutes a spatial half-texel
+                                           # error (the GI field is already
+                                           # bilinearly upsampled 2x) for the
+                                           # temporal decorrelation error.
     gi_temporal_reference: bool = False    # opt-in: apply the temporal
                                            # interleave to gi_mode=
                                            # "reference" too (halves the full

@@ -339,8 +339,18 @@ def lighting_pass(
 
             def _set_cols(slot, half_val, p):
                 cr = jnp.roll(slot, -p, axis=1)
-                cr = cr.at[:, ::2].set(cr[:, ::2] * ema
-                                       + half_val * (1.0 - ema))
+                fresh = cr[:, ::2] * ema + half_val * (1.0 - ema)
+                cr = cr.at[:, ::2].set(fresh)
+                w_in = cfg.gi_temporal_infill
+                if w_in > 0.0:
+                    # stale lane at halved index k sits between fresh k and
+                    # k+1 (edge-clamped): blend toward their average —
+                    # spatial half-texel error instead of temporal staleness
+                    nb = 0.5 * (fresh
+                                + jnp.concatenate([fresh[:, 1:],
+                                                   fresh[:, -1:]], 1))
+                    cr = cr.at[:, 1::2].set(cr[:, 1::2] * (1.0 - w_in)
+                                            + nb * w_in)
                 return jnp.roll(cr, p, axis=1)
 
             def _merge(slot, half_val):
@@ -594,7 +604,7 @@ def lighting_pass(
                 bent_d = bent_normal_cosine(nd_d, n1dd, n3dd)
             else:
                 pwd_d, pvd_d, bent_d, n3dd = pwd, pvd, bent, n3d
-            if interleave:
+            if interleave and cfg.gi_temporal_scope != "spec":
                 amb_h = march_resolve(
                     _half(pwd_d), _half(bent_d), cfg.gi_fast_hit_steps,
                     cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity,
@@ -604,6 +614,8 @@ def lighting_pass(
                 cache_amb = _merge(gi_cache[0], amb_h)
                 ambient = cache_amb
             else:
+                if interleave:
+                    cache_amb = gi_cache[0]  # spec-only scope: slot unused
                 ambient = march_resolve(
                     pwd_d, bent_d, cfg.gi_fast_hit_steps,
                     cfg.gi_fast_hit_step_scale, cfg.gi_diffuse_ss_intensity,
@@ -643,7 +655,7 @@ def lighting_pass(
                     alpha_grid=walpha, early_exit=cfg.gi_early_exit,
                 )
 
-            if interleave:
+            if interleave and cfg.gi_temporal_scope != "spec":
                 # opt-in (cfg.gi_temporal_reference): halves the full parity
                 # march's cost with the same TAA-integrated staleness class
                 # as the fast path; bench/eval reference legs keep div=1 so
@@ -656,6 +668,8 @@ def lighting_pass(
                 cache_amb = _merge(gi_cache[0], amb_h)
                 ambient = cache_amb
             else:
+                if interleave:
+                    cache_amb = gi_cache[0]  # spec-only scope: slot unused
                 ambient = ref_resolve(
                     pwd, pvd, vd, bent, n3d, cfg.gi_diffuse_steps,
                     cfg.gi_diffuse_step_scale, cfg.gi_diffuse_foggyness,
