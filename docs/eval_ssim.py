@@ -72,6 +72,26 @@ VARIANTS = {
     # (substitute a half-texel spatial error for the temporal decorrelation)
     # and spec-only scope (diffuse carries the indoor structure, keep it
     # full-rate; spec is fresnel-weighted small)
+    # r4 wave-4: period-2 GI noise — the cache never holds two decorrelated
+    # noise instances (the wave-3a mechanism); measured vs replace's 0.967
+    "il2_nc": dict(gi_temporal_div=2, gi_temporal_noise="cycle"),
+    "il2_nc_cols": dict(gi_temporal_div=2, gi_temporal_noise="cycle",
+                        gi_temporal_pattern="columns"),
+    # r4 wave-5: period-2 sweep axis — the 3-period rotation against the
+    # 2-frame cycle was the OTHER decorrelation between fresh/stale lanes
+    # (stale lanes always marched a different sweep rotation of the grid)
+    "il2_sw": dict(gi_temporal_div=2, gi_temporal_sweep="cycle"),
+    "il2_nc_sw": dict(gi_temporal_div=2, gi_temporal_noise="cycle",
+                      gi_temporal_sweep="cycle"),
+    # r4 wave-5b: settled-variance matching — the 2-frame hold halves TAA's
+    # effective GI sample rate, doubling settled variance vs the reference's
+    # full-rate dither; halve the march jitter under nc to compensate ("j1"
+    # anchors what jitter=1 does to the full-rate path)
+    "il2_nc_j1": dict(gi_temporal_div=2, gi_temporal_noise="cycle",
+                      gi_fast_jitter_scale=1.0),
+    # non-temporal lane diet: diffuse march+trace at /4 (spec stays /2) —
+    # if SSIM holds this halves the diffuse block without any staleness
+    "dif4": dict(gi_res_divisor_diffuse=4),
     "il2_in1": dict(gi_temporal_div=2, gi_temporal_infill=1.0),
     "il2_in5": dict(gi_temporal_div=2, gi_temporal_infill=0.5),
     "il2_spec": dict(gi_temporal_div=2, gi_temporal_scope="spec"),

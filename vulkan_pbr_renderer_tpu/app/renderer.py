@@ -187,8 +187,14 @@ def frame_inputs(state: FrameState, cam: CameraState, sun_angle, cfg) -> FrameIn
 
 
 def sweep_rotated(lightgrid, frame_idx, cfg):
-    """Pass 3: lightgrid sweep, axis rotating per frame (render.cpp:1064-1069)."""
-    axis = frame_idx % 3
+    """Pass 3: lightgrid sweep, axis rotating per frame (render.cpp:1064-1069).
+
+    Under the temporal GI interleave with cfg.gi_temporal_sweep="cycle" the
+    axis holds for each 2-frame refresh cycle (see config.py rationale)."""
+    if cfg.gi_temporal_sweep == "cycle" and lighting.gi_temporal_active(cfg):
+        axis = (frame_idx // cfg.gi_temporal_div) % 3
+    else:
+        axis = frame_idx % 3
     return jax.lax.switch(
         axis,
         [

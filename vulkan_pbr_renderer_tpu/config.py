@@ -124,6 +124,49 @@ class RenderConfig:
                                            # error (the GI field is already
                                            # bilinearly upsampled 2x) for the
                                            # temporal decorrelation error.
+    gi_temporal_noise: str = "frame"       # GI noise schedule under the
+                                           # interleave: "frame" = the noise
+                                           # fields advance every frame (the
+                                           # reference's own cadence) — the
+                                           # cache then always holds TWO
+                                           # decorrelated noise instances
+                                           # (fresh lanes noise(T), stale
+                                           # noise(T-1)), which the r4 wave-3a
+                                           # analysis identified as the
+                                           # interleave's dominant SSIM cost;
+                                           # "cycle" = GI noise (march jitter,
+                                           # bent normal, trace dither)
+                                           # advances once per 2-frame refresh
+                                           # CYCLE (frame_idx | 1), so a
+                                           # completed cycle carries ONE
+                                           # coherent noise instance — the
+                                           # field then looks like the
+                                           # reference's at a single frame.
+                                           # TAA integrates half the dither
+                                           # instances per unit time (same
+                                           # class as the interleave's own
+                                           # staleness).  GI-scoped only: PCF
+                                           # / shafts / TAA keep frame noise.
+    gi_temporal_sweep: str = "frame"       # lightgrid sweep-axis schedule
+                                           # under the interleave: "frame" =
+                                           # rotate the swept axis every frame
+                                           # (render.cpp:1064-1069, the
+                                           # reference cadence) — the 3-period
+                                           # rotation against the 2-frame
+                                           # refresh cycle means stale lanes
+                                           # always sampled a DIFFERENT sweep
+                                           # rotation of the grid than fresh
+                                           # ones (period-6 decorrelation);
+                                           # "cycle" = hold each axis for the
+                                           # 2-frame cycle (0,0,1,1,2,2): both
+                                           # halves of a completed cycle
+                                           # marched near-identical grids.
+                                           # Same sweeps/frame, full rotation
+                                           # every 6 frames instead of 3 —
+                                           # light propagates at half the
+                                           # frame rate (steady state
+                                           # unchanged).  Ignored when the
+                                           # interleave is off.
     gi_temporal_reference: bool = False    # opt-in: apply the temporal
                                            # interleave to gi_mode=
                                            # "reference" too (halves the full

@@ -204,11 +204,21 @@ def lighting_pass(
         if need_sub else None
     )
 
-    def sub_inputs(k):
+    def sub_inputs(k, f59_=None):
         """(n, roughness, p_world, p_view, noise_1/2/3) at the [::k,::k] grid,
-        exactly equal to subsampling the full-res arrays."""
+        exactly equal to subsampling the full-res arrays.  f59_ overrides the
+        noise frame index (the GI block's cfg.gi_temporal_noise="cycle"
+        schedule); None = the frame's own f59."""
+        if f59_ is None:
+            f59_ = f59
         if k == 1:
-            return n, roughness, p_world, p_view, (noise_1, noise_2, noise_3)
+            if f59_ is f59:
+                return n, roughness, p_world, p_view, (noise_1, noise_2, noise_3)
+            return n, roughness, p_world, p_view, (
+                noiselib.frame_noise(px, py, f59_),
+                noiselib.frame_noise(px, py, f59_, offset=(90.0, 20.0)),
+                noiselib.frame_noise(px, py, f59_, offset=(522.0, 55.0)),
+            )
         sub = _down(packed_gnr, k)
         depth_d = sub[..., 0]
         nd = sub[..., 1:4]
@@ -224,9 +234,9 @@ def lighting_pass(
         pxd = jnp.broadcast_to(pxd, (hd, wd))
         pyd = jnp.broadcast_to(pyd, (hd, wd))
         noises = (
-            noiselib.frame_noise(pxd, pyd, f59),
-            noiselib.frame_noise(pxd, pyd, f59, offset=(90.0, 20.0)),
-            noiselib.frame_noise(pxd, pyd, f59, offset=(522.0, 55.0)),
+            noiselib.frame_noise(pxd, pyd, f59_),
+            noiselib.frame_noise(pxd, pyd, f59_, offset=(90.0, 20.0)),
+            noiselib.frame_noise(pxd, pyd, f59_, offset=(522.0, 55.0)),
         )
         return nd, roughd, pwd, pvd, noises
 
@@ -300,7 +310,14 @@ def lighting_pass(
         wgrid = gi.pack_grid_u8(res.lightgrid)
         walpha = gi.pack_grid_alpha_u16(res.lightgrid)
         trace_depth = depth_full if depth_full is not None else g.depth
-        nd, roughd, pwd, pvd, (n1d, n2d, n3d) = sub_inputs(kg)
+        # interleave noise schedule (config.gi_temporal_noise): "cycle"
+        # advances the GI noise once per 2-frame refresh cycle (frame_idx|1 —
+        # the cycle completes at odd frames carrying THAT frame's noise
+        # instance), so the cache never holds two decorrelated instances
+        f59_gi = None
+        if (gi_cache is not None and cfg.gi_temporal_noise == "cycle"):
+            f59_gi = ((frame_idx | 1) % 59).astype(jnp.float32)
+        nd, roughd, pwd, pvd, (n1d, n2d, n3d) = sub_inputs(kg, f59_gi)
         vd = m3.normalize(glob.camera_pos - pwd)
         bent = bent_normal_cosine(nd, n1d, n3d)
 
@@ -600,7 +617,8 @@ def lighting_pass(
 
             kdif = cfg.gi_res_divisor_diffuse or kg
             if kdif != kg:
-                nd_d, _, pwd_d, pvd_d, (n1dd, _, n3dd) = sub_inputs(kdif)
+                nd_d, _, pwd_d, pvd_d, (n1dd, _, n3dd) = sub_inputs(kdif,
+                                                                    f59_gi)
                 bent_d = bent_normal_cosine(nd_d, n1dd, n3dd)
             else:
                 pwd_d, pvd_d, bent_d, n3dd = pwd, pvd, bent, n3d
