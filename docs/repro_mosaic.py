@@ -41,6 +41,7 @@ def main():
         kw = {k: parse(v) for k, v in
               (s.split(":") for s in sys.argv[1].split(",") if s)}
     which = sys.argv[2] if len(sys.argv) > 2 else "frame"
+    backend = kw.pop("backend", "pallas")
 
     base = dict(
         width=480, height=272, shadow_map_size=256, lightgrid_size=32,
@@ -56,11 +57,12 @@ def main():
     scene = build_scene(suntemple.build_parts(detail), suntemple.materials(),
                         texture_size=64)
     print(f"# cfg: {cfg.width}x{cfg.height} shadow={cfg.shadow_map_size} "
-          f"grid={cfg.lightgrid_size} tris={scene.num_tris} pass={which}",
+          f"grid={cfg.lightgrid_size} tris={scene.num_tris} pass={which} "
+          f"backend={backend}",
           flush=True)
 
     if which == "frame":
-        r = Renderer(cfg, scene, use_cache=False, raster_backend="pallas")
+        r = Renderer(cfg, scene, use_cache=False, raster_backend=backend)
         cam = make_camera(*suntemple.camera_path(0.3), cfg)
         img = None
         for _ in range(2):
@@ -84,7 +86,7 @@ def main():
     @jax.jit
     def run(mat):
         _, depth, tri, ovf = rmod._rasterize(
-            scene, mat, w, h, cull=cull, backend="pallas", cfg=cfg)
+            scene, mat, w, h, cull=cull, backend=backend, cfg=cfg)
         return depth.mean(), tri.max(), ovf
 
     out = run(mat)
