@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
     "default": dict(),
+    # r5 noise-floor control (VERDICT r4 #1a): full-rate fast GI with the GI
+    # dither schedule offset by one frame — scored against "default" via
+    # --ref-variant it measures the SSIM cost of pure noise DEcorrelation
+    # between two otherwise-identical steady-state renders
+    "off1": dict(gi_noise_offset=1),
+    "off2": dict(gi_noise_offset=2),
     # faithful linear screen trace (gi.screen_trace_linear)
     "trace16": dict(gi_fast_screen_mode="trace"),
     "trace24": dict(gi_fast_screen_mode="trace", gi_trace_steps=24),
@@ -114,6 +120,15 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--time", action="store_true")
     ap.add_argument("--diff", action="store_true")
+    # total settle+measure scans per point (frames per scan = --frames):
+    # 6 x 8 = 48 in-device frames (VERDICT r4 #1b: at taa_blend 0.05 the old
+    # 16-frame settle left 0.95^16 = 44% of the TAA transient in BOTH images,
+    # amplifying exactly the noise-correlation artifact under test)
+    ap.add_argument("--scans", type=int, default=6)
+    # score variants against another VARIANT's settled frames instead of the
+    # gi_mode="reference" parity march (e.g. --ref-variant default with
+    # --variants off1 measures the decorrelated-noise SSIM floor)
+    ap.add_argument("--ref-variant", default=None)
     args = ap.parse_args()
 
     import jax
@@ -159,24 +174,35 @@ def main():
         ])
 
     def settled(cfg, rend, fn, t):
+        # args.scans scan calls of `frames` frames each; every call gets a
+        # byte-distinct (anti-memoization) camera nudge ~1e-6 of the path
+        # apart — visually identical, and every variant sees the SAME nudge
+        # sequence so the final frames are matched.  Only the last scan is
+        # timed (steady state).
         st = init_frame_state(cfg)
-        st, _, mm = fn(st, settle_batch(t, cfg), sun,
-                       rend.prefiltered_env, rend.brdf_lut)
-        float(mm[-1])
-        t0 = time.perf_counter()
-        st, img, mm = fn(st, settle_batch(t, cfg, 1e-6), sun,
-                         rend.prefiltered_env, rend.brdf_lut)
-        float(mm[-1])
-        ms = (time.perf_counter() - t0) / frames * 1000.0
+        img, ms = None, 0.0
+        for k in range(max(args.scans, 2)):
+            t0 = time.perf_counter()
+            st, img, mm = fn(st, settle_batch(t, cfg, k * 1e-6), sun,
+                             rend.prefiltered_env, rend.brdf_lut)
+            float(mm[-1])
+            ms = (time.perf_counter() - t0) / frames * 1000.0
         return np.asarray(img), ms
 
     # reference frames cached on disk (the parity march costs ~1 s/frame x 32
     # settle frames x 2 points + a minutes-long compile per eval process);
     # keyed by the config/scene knobs that affect the reference image.
     # Delete /tmp/ev_ref_cache_* after changing the reference GI path.
-    rcfg = cfg0.replace(gi_mode="reference")
+    if args.ref_variant is not None:
+        rcfg = cfg0.replace(**VARIANTS[args.ref_variant])
+        refname = f"v-{args.ref_variant}"
+    else:
+        rcfg = cfg0.replace(gi_mode="reference")
+        refname = "reference"
     refs = {}
     key = (f"{args.width}x{args.height}_d{args.detail}_f{frames}"
+           f"_s{max(args.scans, 2)}"
+           + (f"_{refname}" if args.ref_variant is not None else "")
            if os.environ.get("EV_REF_CACHE", "1") == "1" else None)
     todo = [t for t in points
             if key is None
@@ -186,14 +212,14 @@ def main():
         render_ref = make_render_n(rcfg)
         for t in todo:
             refs[t], ref_ms = settled(rcfg, rr, render_ref, t)
-            print(f"# reference t={t} done ({ref_ms:.0f} ms/frame)",
+            print(f"# {refname} t={t} done ({ref_ms:.0f} ms/frame)",
                   file=sys.stderr)
             if key is not None:
                 np.save(f"/tmp/ev_ref_cache_{key}_t{t}.npy", refs[t])
     for t in points:
         if t not in refs:
             refs[t] = np.load(f"/tmp/ev_ref_cache_{key}_t{t}.npy")
-            print(f"# reference t={t} loaded from cache", file=sys.stderr)
+            print(f"# {refname} t={t} loaded from cache", file=sys.stderr)
 
     def timed(cfg, rend):
         # bench.py's timing loop: camera-path batches nudged per rep

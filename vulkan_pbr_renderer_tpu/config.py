@@ -167,6 +167,21 @@ class RenderConfig:
                                            # frame rate (steady state
                                            # unchanged).  Ignored when the
                                            # interleave is off.
+    gi_noise_offset: int = 0               # offsets the GI block's noise
+                                           # frame index (march jitter, bent
+                                           # normal, trace dither) by N frames
+                                           # — every other noise consumer
+                                           # (PCF, shafts, TAA jitter) keeps
+                                           # the frame schedule.  A pure
+                                           # MEASUREMENT control: two runs
+                                           # offset by 1 render the same
+                                           # steady-state field with
+                                           # decorrelated dither, giving the
+                                           # SSIM noise FLOOR the fidelity
+                                           # gate must be read against
+                                           # (r4 wave-3a: SSIM partly rewards
+                                           # noise-pattern correlation, not
+                                           # image quality).  0 in production.
     gi_temporal_reference: bool = False    # opt-in: apply the temporal
                                            # interleave to gi_mode=
                                            # "reference" too (halves the full

@@ -316,7 +316,13 @@ def lighting_pass(
         # instance), so the cache never holds two decorrelated instances
         f59_gi = None
         if (gi_cache is not None and cfg.gi_temporal_noise == "cycle"):
-            f59_gi = ((frame_idx | 1) % 59).astype(jnp.float32)
+            f59_gi = (((frame_idx | 1) + cfg.gi_noise_offset) % 59).astype(
+                jnp.float32)
+        elif cfg.gi_noise_offset:
+            # measurement control (config.gi_noise_offset): decorrelate the
+            # GI dither from a matched run while everything else stays byte-
+            # identical — the SSIM noise-floor experiment
+            f59_gi = jnp.mod(f59 + jnp.float32(cfg.gi_noise_offset), 59.0)
         nd, roughd, pwd, pvd, (n1d, n2d, n3d) = sub_inputs(kg, f59_gi)
         vd = m3.normalize(glob.camera_pos - pwd)
         bent = bent_normal_cosine(nd, n1d, n3d)
