@@ -133,10 +133,16 @@ def main():
     # deltas are only meaningful with the in-session spread attached
     # (VERDICT r3 #6): record every rep and the min/median/spread.
     rep_sorted = sorted(rep_ms)
+    steady = rep_ms[1:] or rep_ms  # rep 1 often carries residual warm-up
     rep_stats = {
         "reps_ms": [round(t, 2) for t in rep_ms],
         "rep_median_ms": round(rep_sorted[len(rep_sorted) // 2], 2),
         "rep_spread": round(rep_sorted[-1] / max(rep_sorted[0], 1e-9), 3),
+        # spread of the post-warm-up reps — the honest uncertainty of the
+        # min-of-reps headline (ADVICE r4: r4's rep 1 was a 504 ms warm-up
+        # outlier next to 399.1/399.3 steady reps; quoting the raw spread
+        # overstated the noise ~10x)
+        "rep_steady_spread": round(max(steady) / max(min(steady), 1e-9), 3),
     }
 
     # an overflowing bench frame would silently drop triangles and report a
@@ -181,32 +187,37 @@ def main():
                 jnp.stack([getattr(c, f)] * frames) for f in CameraState._fields
             ])
 
+        # 6 scans x `frames` = 48 in-device settle frames per point (VERDICT
+        # r4 #1b: at taa_blend 0.05 the old 16-frame settle left 0.95^16 =
+        # 44% of the TAA transient in BOTH images, amplifying the noise-
+        # correlation artifact the r5 floor measurement quantified).  Every
+        # scan gets a byte-distinct ~1e-6 camera nudge (anti-memoization;
+        # visually identical, and BOTH modes see the same nudge sequence so
+        # the SSIM compares matched frames); sun fixed, so the settled scans
+        # pay no voxelize — matching the reference's revoxelize-on-sun-change
+        # rule (render.cpp).
+        settle_scans = 6 if not small else 2
         for i, t in enumerate(points):
-            # two byte-distinct camera batches per point (anti-memoization;
-            # ~4e-6 of the camera path apart — visually identical, and BOTH
-            # modes see the same pair so the SSIM compares matched frames);
-            # sun fixed, so the timed second call pays no voxelize — matching
-            # the reference's revoxelize-on-sun-change rule (render.cpp)
-            cam_q = settle_batch(t)
-            cam_q2 = settle_batch(t + 1e-6)
             imgs = {}
             for mode, fn, rend in (("fast", render_n, r),
                                    ("reference", render_ref_n, rr)):
                 st = init_frame_state(rcfg)
-                # two scan calls = 2*frames settle frames
-                st, _, mm = fn(st, cam_q, sun,
-                               rend.prefiltered_env, rend.brdf_lut)
-                float(mm[-1])
-                t0 = time.perf_counter()
-                st, img, mm = fn(st, cam_q2, sun,
-                                 rend.prefiltered_env, rend.brdf_lut)
-                float(mm[-1])
-                if mode == "reference":
+                img = None
+                for k in range(settle_scans):
+                    t0 = time.perf_counter()
+                    st, img, mm = fn(st, settle_batch(t + k * 1e-6), sun,
+                                     rend.prefiltered_env, rend.brdf_lut)
+                    float(mm[-1])
+                if mode == "reference":  # steady state: the final scan
                     ref_ms.append((time.perf_counter() - t0) / frames * 1000.0)
                 imgs[mode] = np.asarray(img)
             ssims.append(float(ssim(imgs["fast"], imgs["reference"])))
             print(f"# ssim point {t}: {ssims[-1]:.4f}", file=sys.stderr)
         out["gi_fast_ssim_vs_reference"] = round(float(np.mean(ssims)), 4)
+        # per-point values next to the aggregate (ADVICE r4: the rounded
+        # 2-point mean hid a per-point gate miss)
+        out["gi_fast_ssim_points"] = {str(t): round(s, 4)
+                                      for t, s in zip(points, ssims)}
         # cost of the reference-parity GI mode at bench scale (VERDICT r2 #3):
         # steady-state frames of the settle scan above
         out["reference_gi_frame_ms"] = round(float(np.mean(ref_ms)), 2)

@@ -54,24 +54,17 @@ VARIANTS = {
     # temporal column interleave of the whole fast-GI block (r4 wave 2);
     # the settle loop converges the cache, so this measures steady-state
     # fidelity — motion quality is TAA-integrated dither lag (see config)
-    "il2": dict(gi_temporal_div=2, gi_temporal_pattern="columns",
-                gi_temporal_ema=0.0),
+    "il2": dict(gi_temporal_div=2, gi_temporal_pattern="columns"),
     # r4 wave-3 fixes for il2's 0.9675: checkerboard staleness (highest
     # spatial frequency — upsample+TAA average it away) and EMA cache merge
     # (integrates the march noise instead of flip-flopping 2-frame samples)
-    "il2_ema": dict(gi_temporal_div=2, gi_temporal_pattern="columns",
-                    gi_temporal_ema=0.5),
-    "il2_ck": dict(gi_temporal_div=2, gi_temporal_pattern="checker",
-                   gi_temporal_ema=0.0),
-    "il2_ck_ema": dict(gi_temporal_div=2),  # = new defaults when div=2
-    "il2_ck_ema75": dict(gi_temporal_div=2, gi_temporal_ema=0.75),
+    "il2_ck": dict(gi_temporal_div=2, gi_temporal_pattern="checker"),
     # the 2-frame hold doubles the settled GI variance under TAA (measured:
     # il2 0.9675 vs full 0.9850); EMA over-smooths instead (0.9486).  Try
     # matching the full-rate settled variance by halving the march jitter.
     "il2_j1": dict(gi_temporal_div=2, gi_temporal_pattern="columns",
-                   gi_temporal_ema=0.0, gi_fast_jitter_scale=1.0),
-    "il2_ck_j1": dict(gi_temporal_div=2, gi_temporal_ema=0.0,
-                      gi_fast_jitter_scale=1.0),
+                   gi_fast_jitter_scale=1.0),
+    "il2_ck_j1": dict(gi_temporal_div=2, gi_fast_jitter_scale=1.0),
     "j1": dict(gi_fast_jitter_scale=1.0),  # attribution: jitter alone
     "s84_d2_now": dict(gi_trace_steps=8, gi_trace_steps2=4),
     # stale-lane rescue #2 (after EMA + jitter failed): spatial infill
@@ -98,11 +91,6 @@ VARIANTS = {
     # non-temporal lane diet: diffuse march+trace at /4 (spec stays /2) —
     # if SSIM holds this halves the diffuse block without any staleness
     "dif4": dict(gi_res_divisor_diffuse=4),
-    "il2_in1": dict(gi_temporal_div=2, gi_temporal_infill=1.0),
-    "il2_in5": dict(gi_temporal_div=2, gi_temporal_infill=0.5),
-    "il2_spec": dict(gi_temporal_div=2, gi_temporal_scope="spec"),
-    "il2_spec_in1": dict(gi_temporal_div=2, gi_temporal_scope="spec",
-                         gi_temporal_infill=1.0),
     # the pre-champion round-3 default, for reference
     "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
                     gi_fast_skip_steps=3, gi_fast_hit_steps=8,

@@ -98,8 +98,8 @@ def test_visualize_lightgrid_mode():
     assert np.isfinite(img).all()
 
 
-@pytest.mark.parametrize("pattern,ema", [("columns", 0.0), ("checker", 0.5)])
-def test_gi_temporal_interleave_converges_to_full(pattern, ema):
+@pytest.mark.parametrize("pattern", ["columns", "checker"])
+def test_gi_temporal_interleave_converges_to_full(pattern):
     """gi_temporal_div=2 (alternating half-res GI lanes into a persistent
     cache, config.py:67) must converge to the non-interleaved frame once both
     parities have been traced.  Not bit-equal by design: alternate lanes
@@ -111,7 +111,7 @@ def test_gi_temporal_interleave_converges_to_full(pattern, ema):
 
     def settled(div, frames=8):
         cfg = SMALL.replace(enable_gi=True, gi_temporal_div=div,
-                            gi_temporal_pattern=pattern, gi_temporal_ema=ema)
+                            gi_temporal_pattern=pattern)
         r = Renderer(cfg, scene, use_cache=False)
         cam = make_camera(cam_pos, cam_tgt, cfg)
         for _ in range(frames):

@@ -114,49 +114,3 @@ def test_trace_v2_loop_equals_unrolled():
     np.testing.assert_allclose(np.asarray(sla), np.asarray(slb), rtol=1e-6)
 
 
-def test_trace_early_exit_matches_plain():
-    """early_exit while-loop vs the plain fori: identical march decisions.
-
-    Bit-exactness rationale: a finished lane's body is an identity, so the
-    skipped tail iterations cannot change state (gi._fori_early_exit).  Like
-    the unroll test above, loop-structure changes may reassociate FMAs —
-    statuses exact, floats to 1e-6."""
-    i = _inputs(seed=5)
-    kw = dict(lightgrid_scale=0.1, steps=12, rounds=2, steps2=6,
-              solid_taps=1, unroll=6)
-    outs = []
-    for ee in (False, True):
-        outs.append(jax.jit(
-            lambda e=ee: gi.screen_trace_linear(
-                i["depth"], i["walpha"], i["p0"], i["open_vs"], i["cfv"],
-                i["wfv"], noise_01=i["noise"], early_exit=e, **kw))())
-    (sa, uva, sla), (sb, uvb, slb) = outs
-    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
-    np.testing.assert_allclose(np.asarray(uva), np.asarray(uvb), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sla), np.asarray(slb), rtol=1e-6)
-
-
-def test_voxel_march_and_fog_early_exit_match():
-    rng = np.random.default_rng(11)
-    grid = rng.uniform(0.0, 1.0, (16, 16, 16, 4)).astype(np.float32)
-    grid[..., 3] = (grid[..., 3] > 0.5) * grid[..., 3]
-    g = jnp.asarray(grid)
-    fgrid = gi.pack_grid_f16_nearest(g)
-    ro = jnp.asarray(rng.uniform(-0.8, 0.8, (16, 24, 3)).astype(np.float32))
-    rd = jnp.asarray(rng.normal(size=(16, 24, 3)).astype(np.float32)) * 0.1
-    noise = jnp.asarray(rng.uniform(0, 1, (16, 24)).astype(np.float32))
-
-    sum0 = jnp.zeros((16, 24, 4), jnp.float32).at[..., 3].set(1e-4)
-    a = jax.jit(lambda: gi._voxel_march(g, ro, rd, sum0, 12, 0.5, True,
-                                        early_exit=False))()
-    b = jax.jit(lambda: gi._voxel_march(g, ro, rd, sum0, 12, 0.5, True,
-                                        early_exit=True))()
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    outs = []
-    for ee in (False, True):
-        outs.append(jax.jit(lambda e=ee: gi.sample_radiance_fog(
-            fgrid, ro * 10.0, rd * 10.0, 0.1, skip_steps=4, march_steps=12,
-            noise=noise, early_exit=e))())
-    for xa, xb in zip(outs[0], outs[1]):
-        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))

@@ -92,38 +92,6 @@ class RenderConfig:
                                            # checker is kept for motion,
                                            # where its staleness is sub-TAA-
                                            # kernel instead of column bands.
-    gi_temporal_ema: float = 0.0           # 0 = refreshed lanes REPLACE the
-                                           # cache; >0 = exponential blend
-                                           # old*ema + fresh*(1-ema).
-                                           # MEASURED HARMFUL (eval_ssim r4:
-                                           # ema=0.5 0.9486/0.9491 both
-                                           # patterns vs replace 0.967): the
-                                           # reference's own GI noise is TAA-
-                                           # integrated only, so an EMA'd
-                                           # cache is SMOOTHER than the
-                                           # yardstick settles to — a
-                                           # structural mismatch, not a win.
-                                           # First 2 frames always replace
-                                           # (cold cache).
-    gi_temporal_scope: str = "both"        # "both" = interleave the diffuse
-                                           # AND specular GI resolves; "spec"
-                                           # = specular only (diffuse stays
-                                           # full-rate — it carries the indoor
-                                           # GI structure and its staleness
-                                           # decorrelation costs the most
-                                           # SSIM; spec is fresnel-weighted
-                                           # small indoors).  ~half the
-                                           # interleave's saving at a
-                                           # fraction of its fidelity cost.
-    gi_temporal_infill: float = 0.0        # 0 = stale lanes HOLD their cached
-                                           # value; >0 = blend them toward the
-                                           # average of their two fresh
-                                           # neighbors (same row): stale =
-                                           # (1-w)*cache + w*avg(fresh L/R) —
-                                           # substitutes a spatial half-texel
-                                           # error (the GI field is already
-                                           # bilinearly upsampled 2x) for the
-                                           # temporal decorrelation error.
     gi_temporal_noise: str = "frame"       # GI noise schedule under the
                                            # interleave: "frame" = the noise
                                            # fields advance every frame (the
@@ -369,20 +337,10 @@ class RenderConfig:
                                            # unrolling a gather-bound body
                                            # can HURT by growing the working
                                            # set)
-    gi_early_exit: bool = False            # stop the GI march/trace loops
-                                           # once EVERY lane froze
-                                           # (gi._fori_early_exit — bit-exact,
-                                           # finished lanes are masked
-                                           # identities).  Measured NEUTRAL
-                                           # on TPU (r4 interleaved A/B:
-                                           # fast 398.8 vs 400.3, reference
-                                           # 977.4 vs 977.8 ms/frame): at 2M
-                                           # dense lanes some ray always
-                                           # consumes the full budget, so the
-                                           # exit never fires early enough to
-                                           # pay for its all-lane reduce.
-                                           # Kept for small/partial-view
-                                           # configs where it can still win.
+    # (r4's gi_early_exit all-lane loop exit was measured NEUTRAL on TPU —
+    # interleaved A/B fast 398.8 vs 400.3, reference 977.4 vs 977.8 ms — and
+    # removed in r5 with gi_temporal_ema/_infill/_scope, all measured
+    # harmful-or-neutral rescue knobs: PERF_NOTES r4 waves 3/3a.)
     gi_fast_probe_depth_div: int = 2       # probe z-test depth reduction: 2 =
                                            # min-2x2 half res (2 MB table at
                                            # ~140 M rows/s), 4 = min-4x4

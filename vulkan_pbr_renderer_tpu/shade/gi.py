@@ -29,42 +29,11 @@ from ..gpu import sampling
 from ..utils import color as colorlib
 from ..utils import math3d as m3
 
-def _fori_early_exit(n, body, init, done_fn, unroll=1):
-    """fori_loop(0, n, body, init) that additionally STOPS once
-    done_fn(state) is True.
-
-    Bit-exact vs the plain loop whenever the body is an identity for states
-    where done_fn holds — every march/trace in this module freezes finished
-    lanes behind masks, so once all lanes are frozen the remaining
-    iterations could not have changed the state.  The win: typical frames
-    resolve all lanes well before the step BUDGET (the budget covers the
-    worst camera), and a whole skipped iteration saves its gather rows —
-    where the reference GPU retires divergent warps for free, the dense TPU
-    loop can only stop when EVERY lane is done, so this pays off exactly on
-    the deep-budget loops (the 24-step parity trace, the 12/16-step voxel
-    marches).  done_fn costs one [H,W] reduce per iteration (~0.05 ms).
-
-    unroll > 1 runs that many body steps per while iteration (early exit at
-    block granularity, loop overhead divided by the block size); requires
-    n % unroll == 0.
-    """
-    if n <= 0:
-        return init
-    if unroll > 1 and n % unroll:
-        unroll = 1
-
-    def cond(c):
-        i, st = c
-        return (i < n) & jnp.logical_not(done_fn(st))
-
-    def wbody(c):
-        i, st = c
-        for k in range(unroll):
-            st = body(i + k, st)
-        return i + unroll, st
-
-    return jax.lax.while_loop(cond, wbody, (jnp.int32(0), init))[1]
-
+# (r4's _fori_early_exit — an all-lane early-exit while loop — was measured
+# NEUTRAL on TPU and removed in r5: at 2M dense lanes some ray always consumes
+# the full step budget, so the exit never fired early enough to pay for its
+# per-iteration all-lane reduce.  Row-count reduction is the TPU equivalent of
+# GPU warp retirement; see PERF_NOTES r4 wave 3.)
 
 # ---------------------------------------------------------------------------
 # 2. Lightgrid sweep
@@ -430,7 +399,7 @@ def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
                         skip_steps=4, open_thresh=0.3, march_steps=8,
                         hit_thresh=0.3, step_scale=1.0, foggyness=0.5,
                         noise=None, trilinear_grid=None, jitter_scale=1.0,
-                        unroll=1, early_exit=False):
+                        unroll=1):
     """Reference-structured fast GI: the EXACT phase A + phase C march of
     SampleRadianceWithScreenSpaceTrace (lighting_pass.glsl:280-288, 399-423)
     on an 8-byte nearest-sampled rgba grid (pack_grid_f16_nearest).
@@ -479,9 +448,6 @@ def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
     if skip_steps <= 4:
         for i in range(skip_steps):
             carry = body_skip(i, carry)
-    elif early_exit:
-        carry = _fori_early_exit(skip_steps, body_skip, carry,
-                                 lambda c: jnp.all(c[1]))
     else:
         carry = jax.lax.fori_loop(0, skip_steps, body_skip, carry,
                                   unroll=min(unroll, skip_steps))
@@ -513,13 +479,7 @@ def sample_radiance_fog(fgrid, ro_world, rd_unit, lightgrid_scale,
         return ro_n, sum_n, hit | (hits & live)
 
     carry = (ro_m0, sum0, hit0)
-    if early_exit:
-        # a lane is finished when dead (~found) or stopped at a hit — the
-        # body freezes both, so skipping the tail iterations is bit-exact
-        carry = _fori_early_exit(march_steps, body_fog, carry,
-                                 lambda c: jnp.logical_not(
-                                     jnp.any(found & ~c[2])))
-    elif march_steps <= 8:
+    if march_steps <= 8:
         for i in range(march_steps):
             carry = body_fog(i, carry)
     else:
@@ -597,8 +557,7 @@ def grid_sample(grid, ro_grid):
 # 3. Radiance marches
 
 
-def _skip_blockage(grid, ro, rd, steps, open_thresh, alpha_grid=None,
-                   early_exit=False):
+def _skip_blockage(grid, ro, rd, steps, open_thresh, alpha_grid=None):
     """Advance until the first non-solid voxel (glsl:243-251 / 280-288).
 
     Returns (ro_after, sum4) where sum4 accumulates (rgb,1) of the first open
@@ -625,9 +584,6 @@ def _skip_blockage(grid, ro, rd, steps, open_thresh, alpha_grid=None,
         if steps <= 4:
             for i in range(steps):
                 carry = body_a(i, carry)
-        elif early_exit:
-            carry = _fori_early_exit(steps, body_a, carry,
-                                     lambda c: jnp.all(c[1]))
         else:
             carry = jax.lax.fori_loop(0, steps, body_a, carry)
         ro_f, found = carry
@@ -655,13 +611,10 @@ def _skip_blockage(grid, ro, rd, steps, open_thresh, alpha_grid=None,
         for i in range(steps):
             carry = body(i, carry)
         return carry
-    if early_exit:
-        return _fori_early_exit(steps, body, carry, lambda c: jnp.all(c[2]))
     return jax.lax.fori_loop(0, steps, body, carry)
 
 
-def _voxel_march(grid, ro, rd, sum4, num_steps, foggyness, accumulate_fog,
-                 early_exit=False):
+def _voxel_march(grid, ro, rd, sum4, num_steps, foggyness, accumulate_fog):
     """March until hitting a voxel with alpha > 0.3 (glsl:257-265 / 409-418).
 
     Deliberately a PLAIN fori_loop: unrolling it (and the parity trace loop)
@@ -682,11 +635,7 @@ def _voxel_march(grid, ro, rd, sum4, num_steps, foggyness, accumulate_fog,
         return ro_n, sum_n, stopped | hit
 
     stopped0 = jnp.zeros(ro.shape[:-1], bool)
-    if early_exit:  # bit-exact: stopped lanes freeze (_fori_early_exit doc)
-        _, sum4, _ = _fori_early_exit(num_steps, body, (ro, sum4, stopped0),
-                                      lambda c: jnp.all(c[2]))
-    else:
-        _, sum4, _ = jax.lax.fori_loop(0, num_steps, body, (ro, sum4, stopped0))
+    _, sum4, _ = jax.lax.fori_loop(0, num_steps, body, (ro, sum4, stopped0))
     return sum4
 
 
@@ -967,7 +916,7 @@ def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs,
                         clip_from_view, world_from_view,
                         lightgrid_scale, noise_01,
                         steps=16, rounds=2, steps2=6, solid_taps=3,
-                        unroll=6, early_exit=False):
+                        unroll=6):
     """Faithful bounded port of the reference's linear screen trace
     (lighting_pass.glsl:301-397) for the FAST GI path — the same step
     schedule, occlusion test, solidity gate, boost-continuation, and
@@ -1138,13 +1087,6 @@ def screen_trace_linear(depth_tex, alpha_grid, p0_vs, open_vs,
     # loop (no while at all): numerically identical, zero per-iteration
     # overhead, at more compile time — the A/B decides the default.
     def run_loop(n, st):
-        if early_exit and n > unroll:
-            # stop at unroll-block granularity once every lane froze
-            # (status != 0) — bit-exact, the frozen bodies are identities
-            return _fori_early_exit(
-                n, body, st,
-                lambda s: jnp.logical_not(jnp.any(s["status"] == 0)),
-                unroll=unroll if n % unroll == 0 else 1)
         if unroll >= n:
             for i in range(n):
                 st = body(i, st)
@@ -1597,7 +1539,6 @@ def sample_radiance_with_screen_trace(
     prev_base=None,
     prev_levels=None,
     alpha_grid=None,
-    early_exit=False,
 ):
     """Hybrid screen-space + voxel GI march — the port of
     SampleRadianceWithScreenSpaceTrace (lighting_pass.glsl:273-424).
@@ -1727,17 +1668,8 @@ def sample_radiance_with_screen_trace(
     # plain fori_loop: unroll=6 was A/B'd on TPU in r4 — reference-GI
     # 995-1004 ms vs 977 (no win; the body's 4 gather rows hide the loop
     # overhead) at ~4x the compile time, so it was reverted (VERDICT r3 #4
-    # evidence, PERF_NOTES r4 wave log).  early_exit stops the loop once
-    # every lane left status 0 (bit-exact — inactive lanes freeze): the
-    # 24-step budget covers the worst ray, but indoor frames resolve most
-    # lanes in a handful of steps and each skipped iteration saves the 4
-    # gather rows x 2M lanes the body costs (VERDICT r3 #4 diet)
-    if early_exit:
-        st = _fori_early_exit(max_ss_steps, ss_body, st0,
-                              lambda s: jnp.logical_not(
-                                  jnp.any(s["status"] == 0)))
-    else:
-        st = jax.lax.fori_loop(0, max_ss_steps, ss_body, st0)
+    # evidence, PERF_NOTES r4 wave log)
+    st = jax.lax.fori_loop(0, max_ss_steps, ss_body, st0)
     # lanes that ran out of iterations: treat like distance-exhausted
     status = jnp.where(st["status"] == 0, 2, st["status"])
     lod = jnp.minimum(st["res_slen"] * 5.0, 5.0)
@@ -1753,8 +1685,7 @@ def sample_radiance_with_screen_trace(
     rd2 = rd * step_scale
     ro_c = ro + rd2 * noise_01[..., None]
     sum_c = _voxel_march(grid, ro_c, 0.5 * rd2, sum4, num_steps, foggyness[..., None]
-                         if jnp.ndim(foggyness) else foggyness, True,
-                         early_exit=early_exit)
+                         if jnp.ndim(foggyness) else foggyness, True)
     voxel_rgb = jnp.where(no_open[..., None], 0.0, _tone(sum_c))
 
     return jnp.where(((status == 1) | (status == 3))[..., None], result,
