@@ -218,6 +218,15 @@ def main():
         # 2-point mean hid a per-point gate miss)
         out["gi_fast_ssim_points"] = {str(t): round(s, 4)
                                       for t, s in zip(points, ssims)}
+        # context for reading the number: both sides dither their GI with
+        # frame-index noise, and below ~0.97 this metric measures dither-
+        # phase CORRELATION, not image quality — the r5 wave-1 control
+        # (docs/eval_ssim.py --variants off1 --ref-variant default; identical
+        # full-rate algorithm, GI noise offset one frame) scored 0.9686
+        # against itself.  The shipped interleave must clear that floor; the
+        # full-rate correlated anchor (gi_temporal_div=1) is 0.9847.  See
+        # docs/VISUAL_PARITY.md "The honest fidelity gate".
+        out["ssim_decorrelated_noise_floor"] = 0.9686
         # cost of the reference-parity GI mode at bench scale (VERDICT r2 #3):
         # steady-state frames of the settle scan above
         out["reference_gi_frame_ms"] = round(float(np.mean(ref_ms)), 2)

@@ -21,13 +21,13 @@ os.environ.setdefault("VPR_COMPILATION_CACHE", "0")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "default": dict(),
+    "default": dict(),                         # r5: interleaved (div=2)
+    "no_il": dict(gi_temporal_div=1),          # the r4 full-rate default
     # compile-cost suspects
     "unroll_full": dict(gi_trace_unroll=24),   # >= budget: straight-line trace
     "unroll1": dict(gi_trace_unroll=1),        # pure while-loop trace
     "no_trace": dict(gi_fast_screen_mode="probes"),  # drop the screen trace
     "reference": dict(gi_mode="reference"),
-    "il2": dict(gi_temporal_div=2),
     "notaa": dict(enable_taa=False),
     "nogi": dict(enable_gi=False),
     "noshafts": dict(enable_light_shafts=False),

@@ -62,7 +62,8 @@ def test_sharded_frame_matches_single_chip_exactly():
 
     # reference: single-chip render_frame with the SAME divisor-1 config the
     # sharded path uses (it forces full-res GI/shafts — see sharding.py)
-    ref_cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1)
+    ref_cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1,
+                          gi_temporal_div=1)
     ref_states, ref_imgs = [], []
     for cam in cams:
         st, img = render_frame(scene, init_frame_state(ref_cfg), cam, sun,
@@ -100,7 +101,8 @@ def test_sharded_frame_loop_matches_single_chip():
     """3-frame loop: temporal carry (TAA, lightgrid sweep axis rotation,
     cached sun depth, bloom pyramid) matches the single-chip loop."""
     cfg = _small_cfg()
-    ref_cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1)
+    ref_cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1,
+                          gi_temporal_div=1)
     mesh = sharding.make_mesh(8, dp=1)
     scene, pre, lut = _resources(cfg)
     sun = jnp.asarray([35.0, 80.0], jnp.float32)
@@ -137,7 +139,8 @@ def test_sharded_pallas_matches_single_chip_pallas():
     cams = [make_camera((0.0, -20.0 + i, 3.0), (0.0, 0.0, 3.0), cfg)
             for i in range(2)]
 
-    ref_cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1)
+    ref_cfg = cfg.replace(gi_res_divisor=1, shaft_res_divisor=1,
+                          gi_temporal_div=1)
     ref_imgs = []
     for cam in cams:
         _, img = render_frame(scene, init_frame_state(ref_cfg), cam, sun,

@@ -64,7 +64,7 @@ class RenderConfig:
                                            # TAA-integrated; specular keeps
                                            # gi_res_divisor for reflections)
     shaft_res_divisor: int = 4
-    gi_temporal_div: int = 1               # 1 = off; 2 = temporally
+    gi_temporal_div: int = 2               # 1 = off; 2 = temporally
                                            # interleave the fast-GI march +
                                            # screen trace: each frame computes
                                            # alternating half-res COLUMNS
@@ -79,6 +79,16 @@ class RenderConfig:
                                            # noise dither).  Single-chip only
                                            # (parallel/sharding.py forces 1,
                                            # like the res divisors).
+                                           # DEFAULT 2 since r5: the measured
+                                           # SSIM noise FLOOR (two full-rate
+                                           # runs, dither offset 1 frame:
+                                           # 0.9686) showed the old 0.985
+                                           # gate rewarded noise-pattern
+                                           # correlation; the interleave
+                                           # scores 0.9690 vs reference —
+                                           # ABOVE the floor — at -102
+                                           # ms/frame (docs/VISUAL_PARITY.md
+                                           # "honest gate").
     gi_temporal_pattern: str = "checker"   # which half of the GI lanes each
                                            # frame refreshes: "columns" =
                                            # alternating columns (lowest-
@@ -92,7 +102,7 @@ class RenderConfig:
                                            # checker is kept for motion,
                                            # where its staleness is sub-TAA-
                                            # kernel instead of column bands.
-    gi_temporal_noise: str = "frame"       # GI noise schedule under the
+    gi_temporal_noise: str = "cycle"       # GI noise schedule under the
                                            # interleave: "frame" = the noise
                                            # fields advance every frame (the
                                            # reference's own cadence) — the
