@@ -15,6 +15,7 @@ Frame pass order (matches render.cpp:954-1196):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -258,7 +259,13 @@ def post_stack(hdr, depth, velocity, state: FrameState, cfg):
     return final, taa_out, pyramid
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "raster_backend"), donate_argnames=("state",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "raster_backend"),
+    # VPR_NO_DONATE=1: crash-bisect control (docs/repro_mosaic.py) — buffer
+    # donation changes XLA's aliasing/layout assignment, a candidate trigger
+    # for the scale-config worker fault
+    donate_argnames=(() if os.environ.get("VPR_NO_DONATE") == "1"
+                     else ("state",)))
 def render_frame(
     scene,
     state: FrameState,

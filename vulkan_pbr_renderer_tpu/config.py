@@ -169,6 +169,18 @@ class RenderConfig:
                                            # mode stays the exact SSIM
                                            # yardstick bench.py measures
                                            # against.
+    gi_reference_depth_div: int = 1        # reference-mode screen-trace depth
+                                           # table divisor — the r4 fast-path
+                                           # lever (gi_trace_depth_div)
+                                           # applied to the parity march's
+                                           # own trace.  1 = exact (the SSIM
+                                           # yardstick + the 480x272
+                                           # reference golden stay
+                                           # byte-identical); 2 = the
+                                           # REFERENCE_PRODUCT affordable
+                                           # mode (plain [::2,::2] subsample,
+                                           # same rationale as
+                                           # gi_trace_depth_mode="plain").
     # 'reference': full hybrid screen/voxel march (lighting_pass.glsl:273-424)
     # 'fast': irradiance-cache sampling of the swept grid (~10x fewer gathers)
     gi_mode: str = "fast"
@@ -489,3 +501,13 @@ TRIANGLE = RenderConfig(width=1280, height=720, enable_gi=False, enable_taa=Fals
                         enable_bloom=False, enable_shadows=False, enable_ibl=False,
                         enable_light_shafts=False)
 SUNTEMPLE_1080P = RenderConfig()
+
+# The affordable reference-GI product mode (VERDICT r4 #5): the full-rate
+# bit-exact parity march stays the eval yardstick (gi_mode="reference"
+# alone); this preset applies the two measured fast-path levers to it —
+# the temporal interleave and the subsampled trace depth table — without
+# touching the yardstick's code path (both knobs default off).  Measured
+# cost + SSIM vs the exact reference: docs/VISUAL_PARITY.md.
+REFERENCE_PRODUCT = RenderConfig(gi_mode="reference",
+                                 gi_temporal_reference=True,
+                                 gi_reference_depth_div=2)

@@ -26,6 +26,8 @@ rasterizer needed custom Pallas kernels (raster/).
 from __future__ import annotations
 
 import math
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,7 +120,7 @@ def sample_nearest8(tex2d, uv):
     block means adjacent samples hit different cache rows; odd widths only
     occur in tests, so they take the plain per-texel path."""
     h, w = tex2d.shape
-    if w % 8 != 0:
+    if w % 8 != 0 or os.environ.get("VPR_NO_NEAREST8") == "1":
         return sample_nearest(tex2d[..., None], uv)[..., 0]
     packed = tex2d.reshape(h * w // 8, 8)
     ix = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1)

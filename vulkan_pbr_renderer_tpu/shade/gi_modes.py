@@ -463,10 +463,17 @@ def reference_gi(ctx):
     exact."""
     cfg, glob, res = ctx.cfg, ctx.glob, ctx.res
 
+    # REFERENCE_PRODUCT lever (config.gi_reference_depth_div): the parity
+    # trace against a plain-subsampled depth table — the r4 fast-path
+    # finding (the full-res f32 table gathers ~3x slower) applied to the
+    # reference march.  Default 1 keeps the yardstick bit-exact.
+    kdr = cfg.gi_reference_depth_div
+    ref_depth = ctx.trace_depth[::kdr, ::kdr] if kdr > 1 else ctx.trace_depth
+
     def ref_resolve(pw_, pv_, vd_, dir_, n3_, steps, step_scale,
                     fog, intensity):
         return gi.sample_radiance_with_screen_trace(
-            ctx.wgrid, ctx.trace_depth, res.prev_frame_atlas,
+            ctx.wgrid, ref_depth, res.prev_frame_atlas,
             glob.view_from_world, glob.clip_from_view,
             glob.view_from_clip, glob.world_from_view,
             vd_,
