@@ -95,6 +95,14 @@ VARIANTS = {
     "probes3": dict(gi_fast_probe_points=3, gi_fast_edge_fallback=False,
                     gi_fast_skip_steps=3, gi_fast_hit_steps=8,
                     gi_fast_hit_step_scale=1.0, gi_fast_jitter_scale=1.0),
+    # r5 REFERENCE_PRODUCT candidates (VERDICT r4 #5): the parity march with
+    # the fast-path levers; scored vs the exact reference (default --ref)
+    "ref_exact": dict(gi_mode="reference"),
+    "ref_il2": dict(gi_mode="reference", gi_temporal_reference=True,
+                    gi_temporal_noise="cycle"),
+    "ref_d2": dict(gi_mode="reference", gi_reference_depth_div=2),
+    "ref_prod": dict(gi_mode="reference", gi_temporal_reference=True,
+                     gi_temporal_noise="cycle", gi_reference_depth_div=2),
 }
 
 
