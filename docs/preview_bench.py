@@ -72,9 +72,13 @@ def main():
         t0 = time.perf_counter()
         session.tick()
         tick_ms.append((time.perf_counter() - t0) * 1000.0)
-        # re-measure the encode alone (tick already paid it; this isolates it)
+        # re-measure the transport encode alone on a noise frame (a real
+        # frame's entropy, unlike the old blank-frame estimate that read
+        # ~11 ms where the in-tick PNG cost ~240)
+        noise = np.random.default_rng(k).random(
+            (cfg.height, cfg.width, 3), np.float32)
         te = time.perf_counter()
-        imglib.encode_png(np.zeros((cfg.height, cfg.width, 3), np.float32))
+        imglib.encode_jpeg(noise)
         encode_ms.append((time.perf_counter() - te) * 1000.0)
 
     def stats(xs):
@@ -85,7 +89,7 @@ def main():
           f"backend={r.raster_backend}")
     print(f"tick end-to-end: {stats(tick_ms)}")
     print(f"  render (jit call + device + tunnel fetch): {stats(render_ms)}")
-    print(f"  png encode (blank-frame estimate):         {stats(encode_ms)}")
+    print(f"  transport encode (noise-frame estimate):   {stats(encode_ms)}")
 
 
 if __name__ == "__main__":

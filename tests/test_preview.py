@@ -93,8 +93,10 @@ def test_session_with_real_renderer():
     s = preview.PreviewSession(render_step, cfg, start_pos=(0, -5, 2))
     s.push_events([["press", "KeyW"], ["press", "MouseRight"]])
     s.tick()
-    img1 = np.frombuffer(s.frame_png[:8], np.uint8)
-    assert bytes(img1) == b"\x89PNG\r\n\x1a\n" and s.frame_count == 1
+    magic = bytes(s.frame_png[:8])
+    # JPEG (SOI marker) when PIL is present, PNG otherwise (image.encode_jpeg)
+    assert (magic[:2] == b"\xff\xd8" or magic == b"\x89PNG\r\n\x1a\n")
+    assert s.frame_count == 1
     s.push_events([["press", "KeyG"]])
     s.tick()   # lightgrid debug view renders through the DDA path
     assert s.visualize_lightgrid and s.frame_count == 2
@@ -115,7 +117,7 @@ def test_http_server_roundtrip():
         assert urllib.request.urlopen(req).status == 200
         s.tick()
         png = urllib.request.urlopen(f"{base}/frame.png").read()
-        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png[:2] == b"\xff\xd8" or png[:8] == b"\x89PNG\r\n\x1a\n"
         stats = urllib.request.urlopen(f"{base}/stats").read().decode()
         assert "frame 1" in stats and "sun" in stats
         assert s.inputs.is_down(ord("W"))

@@ -102,7 +102,10 @@ class PreviewSession:
         self.visualize_lightgrid = False
         self.on_tick = on_tick
         self.quit = False
-        self.frame_png = imglib.encode_png(
+        # live-stream frames ride JPEG when PIL is present: the stdlib PNG
+        # of a real 960x544 frame costs ~240 ms on the 1-CPU host — half
+        # the tick (docs/preview_bench.py); file outputs stay PNG
+        self.frame_png, self.frame_mime = imglib.encode_jpeg(
             np.zeros((cfg.height, cfg.width, 3), np.float32))
         self.frame_ms = 0.0
         self.frame_count = 0
@@ -148,10 +151,11 @@ class PreviewSession:
 
         img = self.render_step(self.camera.matrices(self.cfg),
                                self.sun_angle, self.visualize_lightgrid)
-        png = imglib.encode_png(np.asarray(img))
+        png, mime = imglib.encode_jpeg(np.asarray(img))
         self.frame_ms = (time.perf_counter() - t) * 1000.0
         with self._lock:
             self.frame_png = png
+            self.frame_mime = mime
             self.frame_count += 1
 
     def loop(self):
@@ -184,9 +188,11 @@ def make_handler(session: PreviewSession):
             if path == "/":
                 self._send(200, "text/html", _PAGE.encode())
             elif path == "/frame.png":
+                # endpoint name is historical; the payload is JPEG when PIL
+                # is available (the mime header tells the browser)
                 with session._lock:
-                    png = session.frame_png
-                self._send(200, "image/png", png)
+                    png, mime = session.frame_png, session.frame_mime
+                self._send(200, mime, png)
             elif path == "/stats":
                 self._send(200, "text/plain", session.stats().encode())
             else:

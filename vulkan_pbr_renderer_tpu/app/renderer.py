@@ -379,6 +379,26 @@ def render_frame(
     return new_state, final
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "raster_backend"),
+    donate_argnames=(() if os.environ.get("VPR_NO_DONATE") == "1"
+                     else ("state",)))
+def render_frame_packed(scene, state, cam_sun, prefiltered_env, brdf_lut,
+                        cfg, raster_backend="xla"):
+    """render_frame with the per-frame fresh host inputs (6 camera matrices
+    + position + sun angle) packed into ONE [101] f32 vector.
+
+    The tunnel charges ~25 ms latency per host->device transfer; the
+    interactive path (Renderer.render, one camera per call) was paying 8 of
+    them per frame — ~190 ms of the preview tick above the render itself
+    (docs/preview_bench.py, PERF_NOTES r5 wave 5).  Bit-exact: the unpack
+    is reshape-only, and the nested render_frame jit inlines."""
+    mats = [cam_sun[i * 16:(i + 1) * 16].reshape(4, 4) for i in range(6)]
+    cam = CameraState(*mats, cam_sun[96:99])
+    return render_frame(scene, state, cam, cam_sun[99:101],
+                        prefiltered_env, brdf_lut, cfg, raster_backend)
+
+
 class Renderer:
     """Host-side orchestration: bake IBL once, then step frames.
 
@@ -438,11 +458,21 @@ class Renderer:
 
         Setting `renderer.state = None` resets the temporal state (TAA
         history, lightgrid, cached sun map) before the next frame — the
-        per-camera-point reset the bench's SSIM section relies on."""
+        per-camera-point reset the bench's SSIM section relies on.
+
+        The camera + sun ride ONE packed [101] vector: the per-frame fresh
+        host arrays are otherwise 8 separate host->device transfers, and the
+        tunnel charges ~25 ms per host call — docs/preview_bench.py measured
+        the interactive tick paying ~190 ms above the render itself before
+        this (PERF_NOTES r5 wave 5).  Scene/state/bake buffers are already
+        device-resident, so they transfer nothing."""
         if self.state is None:
             self.state = init_frame_state(self.cfg)
-        self.state, img = render_frame(
-            self.scene, self.state, cam, jnp.asarray(sun_angle, jnp.float32),
+        packed = np.concatenate(
+            [np.asarray(leaf, np.float32).ravel()
+             for leaf in (*cam, sun_angle)])
+        self.state, img = render_frame_packed(
+            self.scene, self.state, jnp.asarray(packed),
             self.prefiltered_env, self.brdf_lut, self.cfg, self.raster_backend,
         )
         return img

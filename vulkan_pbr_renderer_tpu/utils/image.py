@@ -85,6 +85,32 @@ def encode_png(img, compress_level=6):
     return png
 
 
+def encode_jpeg(img, quality=88):
+    """Encode a uint8 [H,W,3] (or float in [0,1]) array as JPEG bytes.
+
+    PIL-backed (the image is only baked into this wheel set, not a new
+    dependency); falls back to PNG when PIL is absent.  Used by the live
+    preview transport (app/preview.py): the stdlib zlib PNG of a real
+    960x544 frame costs ~240 ms on this 1-CPU host — half the interactive
+    tick (docs/preview_bench.py, PERF_NOTES r5 wave 5) — where libjpeg
+    encodes the same frame in ~10-20 ms.  Goldens and --out files stay PNG
+    (lossless)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    try:
+        import io
+
+        from PIL import Image as _PILImage
+    except ImportError:
+        return encode_png(img), "image/png"
+    buf = io.BytesIO()
+    _PILImage.fromarray(img[..., :3]).save(buf, "JPEG", quality=quality)
+    return buf.getvalue(), "image/jpeg"
+
+
 def write_png(path, img):
     """Write a uint8 [H,W,3|4] (or float in [0,1]) array as PNG."""
     with open(path, "wb") as f:
