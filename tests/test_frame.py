@@ -110,8 +110,18 @@ def test_gi_temporal_interleave_converges_to_full(pattern):
     cam_pos, cam_tgt = (5.0, -6.0, 3.0), (0.0, 0.0, 1.0)
 
     def settled(div, frames=8):
+        # bloom + shafts are independent of the GI cache under test; off,
+        # the two full-frame compiles (div 1 + div 2) drop substantially
+        # (this test was 130 s of the fast tier — VERDICT r4 #7).  TAA
+        # stays ON: the interleave's staleness is TAA-integrated by design
+        # and the convergence bound is calibrated to the settled frame.
+        # pattern is meaningless at div=1 — pin it so the div=1 graph is
+        # ONE compile shared by both parametrize legs (configs that differ
+        # only in an ignored field still compile separately)
         cfg = SMALL.replace(enable_gi=True, gi_temporal_div=div,
-                            gi_temporal_pattern=pattern)
+                            gi_temporal_pattern=(pattern if div > 1
+                                                 else "checker"),
+                            enable_bloom=False, enable_light_shafts=False)
         r = Renderer(cfg, scene, use_cache=False)
         cam = make_camera(cam_pos, cam_tgt, cfg)
         for _ in range(frames):

@@ -61,6 +61,11 @@ SCALE = RenderConfig(
 )
 
 MID = SCALE.replace(width=480, height=272, shadow_map_size=256)
+# fast-tier golden size (VERDICT r4 #7: the 480x272 fast golden was 147 s of
+# the tier; the 320x192 class keeps the same full-pipeline precision net at
+# ~40% of the pixels).  The reference-parity golden keeps MID: it is the
+# parity yardstick and lives in the slow tier anyway.
+MID_FAST = MID.replace(width=320, height=192)
 
 
 @pytest.mark.parametrize("mode", [
@@ -70,13 +75,14 @@ MID = SCALE.replace(width=480, height=272, shadow_map_size=256)
     pytest.param("reference", marks=pytest.mark.slow),
 ])
 def test_golden_suntemple_480(mode):
-    cfg = MID.replace(gi_mode=mode)
+    cfg = (MID_FAST if mode == "fast" else MID).replace(gi_mode=mode)
+    name = f"suntemple_{cfg.width}_{mode}"
     r = Renderer(cfg, _scene(), use_cache=False, raster_backend="xla")
     cam = make_camera(*suntemple.camera_path(0.3), cfg)
     img = None
     for _ in range(2):  # settle GI sweep + TAA one step
         img = r.render(cam, sun_angle=(35.0, 80.0))
-    _check(f"suntemple_480_{mode}", img, threshold=0.97)
+    _check(name, img, threshold=0.97)
 
 
 @pytest.mark.skipif(not FULL_TIER, reason="960x544 tier: RUN_SCALE_GOLDENS=1")
