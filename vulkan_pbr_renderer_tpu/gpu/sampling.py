@@ -1384,6 +1384,17 @@ def pack_cube_mip_atlas_window(cube_atlas, base_size, dtype=jnp.float16):
                 out = out.at[f, :ls, offs[k] : offs[k] + ls].set(
                     window_pack(lvl, 2, 2, pad_mode="edge").astype(dtype)
                 )
+        # Store the i32 BITCAST view, not the narrow dtype: take_rows'
+        # per-call bitcast of a 16-bit table pays a T(8,128)(2,1) ->
+        # T(8,128) relayout that XLA does NOT hoist out of the frame —
+        # profiled at 22.5 ms/frame on the bench-scale prefiltered atlas
+        # ([784896, 48] f16, r5 hlo_stats) for a loop-invariant input.
+        # Baked once here, the samplers gather i32 rows directly and
+        # bitcast the 8 gathered values back (free, register-level).
+        c4 = 4 * c
+        if dtype in (jnp.float16, jnp.uint16) and c4 % 2 == 0:
+            return jax.lax.bitcast_convert_type(
+                out.reshape(six, s, wa, c4 // 2, 2), jnp.int32)
         return out
 
     return _pack(cube_atlas)
@@ -1401,6 +1412,11 @@ def _cube_window_level_sample(flat, s, wa, c, face, uv, ls, off):
     fx = jnp.where((x0f < 0)[..., None], 0.0, fx)
     fy = jnp.where((y0f < 0)[..., None], 0.0, fy)
     row = take_rows(flat, (face * s + iy) * wa + off + ix)
+    if row.dtype == jnp.int32:
+        # pre-bitcast atlas (pack_cube_mip_atlas_window): decode the i32
+        # pairs back to f16 in-register
+        row = jax.lax.bitcast_convert_type(row, jnp.float16).reshape(
+            row.shape[:-1] + (row.shape[-1] * 2,))
     row = row.astype(jnp.float32)
     t00 = row[..., 0 * c : 1 * c]
     t10 = row[..., 1 * c : 2 * c]
@@ -1414,13 +1430,14 @@ def _cube_window_level_sample(flat, s, wa, c, face, uv, ls, off):
 def sample_cubemap_level_window(wcube, base_size, r, level):
     """Bilinear cubemap sample at one STATIC mip level — ONE gather row
     (the sky fallback's textureLod(..., 0.), lighting_pass.glsl:709)."""
-    six, s, wa, c4 = wcube.shape
+    six, s, wa, cl = wcube.shape
+    c4 = cl * 2 if wcube.dtype == jnp.int32 else cl  # logical f16 channels
     c = c4 // 4
     levels = n_mip_levels(base_size, base_size)
     level = min(int(level), levels - 1)
     offs, _ = mip_offsets(base_size, base_size, levels)
     face, uv = cubemap_face_uv_from_dir(r)
-    flat = wcube.reshape(six * s * wa, c4)
+    flat = wcube.reshape(six * s * wa, cl)
     return _cube_window_level_sample(
         flat, s, wa, c, face, uv, max(1, base_size >> level), offs[level]
     )
@@ -1429,7 +1446,8 @@ def sample_cubemap_level_window(wcube, base_size, r, level):
 def sample_cubemap_lod_window(wcube, base_size, r, lod):
     """Trilinear (bilinear + mip lerp) cubemap sample — TWO gather rows
     (textureLod with dynamic lod, lighting_pass.glsl:699)."""
-    six, s, wa, c4 = wcube.shape
+    six, s, wa, cl = wcube.shape
+    c4 = cl * 2 if wcube.dtype == jnp.int32 else cl  # logical f16 channels
     c = c4 // 4
     levels = n_mip_levels(base_size, base_size)
     offs, _ = mip_offsets(base_size, base_size, levels)
@@ -1440,7 +1458,7 @@ def sample_cubemap_lod_window(wcube, base_size, r, lod):
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, levels - 1)
     fl = (lod - l0.astype(jnp.float32))[..., None]
-    flat = wcube.reshape(six * s * wa, c4)
+    flat = wcube.reshape(six * s * wa, cl)
     s0 = _cube_window_level_sample(
         flat, s, wa, c, face, uv, jnp.take(size_arr, l0), jnp.take(offs_arr, l0))
     s1 = _cube_window_level_sample(
